@@ -1,0 +1,71 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables,
+compare row count + column names + order-insensitive values.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con.execute(sql).fetchdf()
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def _normalize(pdf):
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = _duck(sql)
+    s_cols, s_rows = _normalize(spark_pdf)
+    d_cols, d_rows = _normalize(duck_pdf)
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
