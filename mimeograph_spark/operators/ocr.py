@@ -9,10 +9,10 @@ pages.
 
 Two physical paths, same semantics (pipeline.py routes between them):
 
-- `ocr_document_udf` (narrow): one call per document, operating on the
-  whole span array in place.  Zero shuffle: for the common case (docs
-  with a bounded page count) the entire OCR branch is a single narrow
-  stage.
+- `ocr_refs_udf` (narrow): one call per document over its array of
+  media refs.  Zero shuffle: for the common case (docs with a bounded
+  page count) the entire OCR branch is a single narrow stage, and only
+  flat string arrays cross the Arrow boundary.
 - `ocr_page_udf` (page-parallel): one call per exploded page, used for
   mega-page documents whose pages must spread across many tasks (the
   reference's page-level fan-out, src/mimeograph.coffee:562-566).
@@ -28,9 +28,8 @@ from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
-from ..schema import DOC_OCR_RESULT_TYPE, KIND_MEDIA, KIND_OCR
 from .hocr import ocr_page
 
 
@@ -46,48 +45,19 @@ def ocr_page_udf(refs: pd.Series) -> pd.Series:
     return pd.Series(_ocr_batch(refs), index=refs.index, dtype=object)
 
 
-@F.pandas_udf(DOC_OCR_RESULT_TYPE)
-def ocr_document_udf(spans: pd.Series) -> pd.DataFrame:
-    """Narrow path: whole span array in -> (spans_out, error_pages) out.
+@F.pandas_udf(ArrayType(StringType()))
+def ocr_refs_udf(refs: pd.Series) -> pd.Series:
+    """Narrow path: per-doc array of media refs -> aligned array of page
+    texts (NULL element = page error).
 
-    Media spans are OCR'd; text spans are dropped (the document reached
-    this stage only because it has no usable native text, so its text
-    spans are whitespace-only — they do not contribute to output, cf.
-    the whitespace_native scenario in FIXTURES.md §1).
+    Only flat string arrays cross the Arrow boundary — span structs are
+    rebuilt JVM-side with zip_with (pipeline.py), which measured ~5x
+    faster end-to-end than shipping array<struct> both ways.
     """
-    spans_out: list[list[dict]] = []
-    error_pages: list[list[int]] = []
-    # Flatten all media refs in the batch into one OCR pass, then
-    # regroup — keeps the per-document Python overhead minimal.
-    flat_refs: list[str] = []
-    doc_media: list[list[dict]] = []
-    for doc_spans in spans:
-        media = [
-            s for s in (doc_spans if doc_spans is not None else [])
-            if s["kind"] == KIND_MEDIA
-        ]
-        media.sort(key=lambda s: s["offset"])
-        doc_media.append(media)
-        flat_refs.extend(s["media_ref"] for s in media)
-    flat_texts = _ocr_batch(flat_refs)
-    pos = 0
-    for media in doc_media:
-        out: list[dict] = []
-        errs: list[int] = []
-        for s in media:
-            text = flat_texts[pos]
-            pos += 1
-            if text is None:
-                errs.append(s["offset"])
-            else:
-                out.append(
-                    {
-                        "kind": KIND_OCR,
-                        "text": text,
-                        "media_ref": s["media_ref"],
-                        "offset": s["offset"],
-                    }
-                )
-        spans_out.append(out)
-        error_pages.append(errs)
-    return pd.DataFrame({"spans_out": spans_out, "error_pages": error_pages})
+    return pd.Series(
+        [None if lst is None else _ocr_batch(lst) for lst in refs],
+        index=refs.index,
+        dtype=object,
+    )
+
+

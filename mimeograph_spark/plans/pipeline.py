@@ -6,19 +6,22 @@ plan.
 Plan shape (only ONE shuffle, and only for mega-page docs):
 
     read documents
-      |-- classify (narrow: exists/filter over span arrays)
-      |-- native branch        (narrow)  docs with usable text layer
-      |-- OCR narrow branch    (narrow)  small docs: whole-doc pandas UDF
+      |-- main branch (narrow, SINGLE PASS over the input):
+      |     classify + native projection + small-doc OCR fused into one
+      |     projection — the OCR UDF receives an EMPTY ref array for
+      |     native docs, so the doc-level short-circuit
+      |     (src/mimeograph.coffee:542-547) costs nothing in Python
       |-- OCR page branch    (1 shuffle) mega docs: explode -> repartition
       |                                  -> page UDF -> salted stitch
       '-- unionByName
 
-The doc-level OCR short-circuit (src/mimeograph.coffee:542-547) means
-the expensive UDF only ever sees the no-native-text documents.  The
-size-based routing keeps the common case shuffle-free while giving
-mega-page documents (FIXTURES.md `megapage`) page-level parallelism —
-the reference's worker-queue fan-out (:562-566) — plus salting so no
-single reducer owns a 50k-page stitch.
+Fusing native + small-OCR into one projection matters at scale: a
+branch-per-case plan re-scans (or re-derives) the input once per
+branch; the fused plan reads it once.  The size-based routing keeps
+the common case shuffle-free while giving mega-page documents
+(FIXTURES.md `megapage`) page-level parallelism — the reference's
+worker-queue fan-out (:562-566) — plus salting so no single reducer
+owns a 50k-page stitch.
 """
 
 from __future__ import annotations
@@ -29,17 +32,21 @@ from pyspark.sql import functions as F
 from ..operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
-    native_branch,
+    sort_spans_by_offset,
     with_doc_class,
 )
-from ..operators.ocr import ocr_document_udf, ocr_page_udf
+from ..operators.ocr import ocr_page_udf, ocr_refs_udf
 from ..operators.stitch import stitch_pages
-from ..schema import KIND_MEDIA, STATUS_COMPLETE, STATUS_FAILED
+from ..schema import KIND_MEDIA, KIND_TEXT, STATUS_COMPLETE, STATUS_FAILED
 
 # Docs with more media pages than this go through the exploded
 # page-parallel path; tune so an Arrow batch of `threshold`-page docs
 # stays comfortably in Python-worker memory.
 DEFAULT_PAGE_THRESHOLD = 512
+
+_EMPTY_SPANS = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
 
 
 def extract(
@@ -52,27 +59,83 @@ def extract(
     """documents (DOCUMENTS_SCHEMA) -> results (RESULT_SCHEMA)."""
     classified = with_doc_class(documents)
 
-    native = native_branch(classified)
-
-    ocr_docs = classified.filter(~F.col(HAS_NATIVE))
-
-    # -- narrow path: bounded-size docs, zero shuffle ------------------
-    small = ocr_docs.filter(F.col(N_MEDIA) <= page_threshold)
-    small_res = small.withColumn("_ocr", ocr_document_udf("spans"))
-    small_out = small_res.select(
+    # -- main branch: native + bounded-OCR docs, one narrow pass -------
+    main = classified.filter(
+        F.col(HAS_NATIVE) | (F.col(N_MEDIA) <= page_threshold)
+    )
+    native_sorted = sort_spans_by_offset(
+        F.filter("spans", lambda s: s["kind"] == KIND_TEXT)
+    )
+    native_out = F.transform(
+        native_sorted,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    media_sorted = F.when(
+        F.col(HAS_NATIVE), F.lit([]).cast(_EMPTY_SPANS)
+    ).otherwise(
+        sort_spans_by_offset(
+            F.filter("spans", lambda s: s["kind"] == KIND_MEDIA)
+        )
+    )
+    # Only an array<string> of refs crosses the Arrow boundary; span
+    # structs are rebuilt in whole-stage codegen via zip_with.  Native
+    # docs contribute an empty array -> near-zero Python cost.
+    staged = main.select(
         "doc_id",
-        F.col("_ocr.spans_out").alias("spans_out"),
+        F.col(HAS_NATIVE).alias(HAS_NATIVE),
+        native_out.alias("_native"),
+        media_sorted.alias("_media"),
+    ).withColumn(
+        "_texts",
+        ocr_refs_udf(F.transform("_media", lambda s: s["media_ref"])),
+    )
+    zipped = F.zip_with(
+        F.col("_media"),
+        F.col("_texts"),
+        lambda m, t: F.struct(
+            F.lit("ocr").alias("kind"),
+            t.alias("text"),
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("offset"),
+        ),
+    )
+    main_out = staged.select(
+        "doc_id",
+        F.col(HAS_NATIVE).alias(HAS_NATIVE),
+        F.when(F.col(HAS_NATIVE), F.col("_native"))
+        .otherwise(F.filter(zipped, lambda z: z["text"].isNotNull()))
+        .alias("spans_out"),
+        F.when(F.col(HAS_NATIVE), F.lit([]).cast("array<int>"))
+        .otherwise(
+            F.transform(
+                F.filter(zipped, lambda z: z["text"].isNull()),
+                lambda z: z["offset"],
+            )
+        )
+        .alias("error_pages"),
+    ).select(
+        "doc_id",
+        "spans_out",
         F.when(
-            (F.col(N_MEDIA) > 0) & (F.size("_ocr.spans_out") == 0),
+            ~F.col(HAS_NATIVE)
+            & (F.size("error_pages") > 0)
+            & (F.size("spans_out") == 0),
             F.lit(STATUS_FAILED),
         )
         .otherwise(F.lit(STATUS_COMPLETE))
         .alias("status"),
-        F.array_sort(F.col("_ocr.error_pages")).alias("error_pages"),
+        "error_pages",
     )
 
     # -- page-parallel path: mega docs ---------------------------------
-    big = ocr_docs.filter(F.col(N_MEDIA) > page_threshold)
+    big = classified.filter(
+        ~F.col(HAS_NATIVE) & (F.col(N_MEDIA) > page_threshold)
+    )
     pages = big.select(
         "doc_id",
         F.explode(
@@ -96,7 +159,7 @@ def extract(
     )
     big_out = stitch_pages(ocr_pages, salted=salted_stitch, num_salts=num_salts)
 
-    return native.unionByName(small_out).unionByName(big_out)
+    return main_out.unionByName(big_out)
 
 
 def extract_flat(documents: DataFrame, **kwargs) -> DataFrame:

@@ -68,15 +68,6 @@ LINEAGE_SCHEMA = StructType(
     ]
 )
 
-# Internal: result of the batched OCR UDF over a whole document's spans
-# (narrow no-shuffle path).
-DOC_OCR_RESULT_TYPE = StructType(
-    [
-        StructField("spans_out", ArrayType(SPAN_TYPE)),
-        StructField("error_pages", ArrayType(IntegerType())),
-    ]
-)
-
 STATUS_COMPLETE = "complete"
 STATUS_FAILED = "failed"
 
