@@ -5,9 +5,15 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Implemented queries map to SURVEY.md §2's operator inventory; the
-pipeline_* family exercises the mimeograph extraction chain end-to-end
-over the derived interleaved corpus (corpus.derive_documents).
+Families:
+- pipeline_*   : the mimeograph extraction chain (SURVEY.md §2.1-2.2)
+                 over the derived interleaved corpus
+- relational   : standard operator categories (§2.4) on the TPC-H-ish
+                 tables — joins, windows, rollups, set ops, sessions
+- training-data: dedup (exact/minhash/LSH/simhash), similarity search
+                 (brute cosine / LSH), text analysis, multimodal
+                 plumbing (rows-only checks where binary payloads are
+                 not SQL-expressible)
 """
 
 from __future__ import annotations
@@ -19,12 +25,26 @@ from pyspark.sql import functions as F
 
 from mimeograph_spark import sql_oracles
 from mimeograph_spark.corpus import derive_documents
+from mimeograph_spark.functions.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    simhash64,
+    with_minhash,
+)
+from mimeograph_spark.functions.multimodal import (
+    decode_metadata,
+    frame_sample,
+    with_media_blob,
+)
+from mimeograph_spark.functions.similarity import brute_force_topk, lsh_topk
+from mimeograph_spark.functions.textstats import with_textstats
 from mimeograph_spark.operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
     with_doc_class,
 )
 from mimeograph_spark.operators.ocr import ocr_page_udf
+from mimeograph_spark.plans import relational
 from mimeograph_spark.plans.pipeline import extract_flat
 from mimeograph_spark.schema import KIND_MEDIA
 
@@ -40,7 +60,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pipeline family (mimeograph extraction chain, SURVEY.md §2.1-2.2)
+# Pipeline family
 # ---------------------------------------------------------------------------
 
 def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +115,89 @@ def q_ocr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data family
+# ---------------------------------------------------------------------------
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = with_textstats(_read(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id", "n_tokens", "n_subword_tokens", "punct_ratio",
+        "stopword_ratio", "quality", "lang_pred", "fingerprint",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(docs.unionByName(shifted))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    mh = with_minhash(_read(spark, sf_dir, "documents"), k=k)
+    return mh.select(
+        "doc_id", *[F.col("minhash")[i].alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, k=16, bands=4)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, n_planes=8, k=5)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> typed metadata (decode stage plumbing;
+    rows-only driver check, payloads aren't SQL-expressible)."""
+    refs = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+    return decode_metadata(with_media_blob(refs)).select(
+        "media_ref", "width", "height", "modality", "payload_bytes", "valid"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage (rows-only driver check)."""
+    refs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.concat(F.lit("v:"), F.col("doc_id").cast("string")).alias(
+                "media_ref"
+            )
+        )
+    )
+    return frame_sample(with_media_blob(refs), every_n=4).select(
+        "media_ref", "frame_no", "frame_sig"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -105,17 +208,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # pipeline
         "pipeline_extract": q_pipeline_extract,
         "classify_branch": q_classify_branch,
         "span_kind_counts": q_span_kind_counts,
         "ocr_pages": q_ocr_pages,
+        # relational
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_suppliers": relational.q5_local_suppliers,
+        "window_topn": relational.window_top_orders_per_customer,
+        "rollup_status_month": relational.rollup_orders_by_status_month,
+        "anti_join_customers": relational.customers_without_orders,
+        "string_funcs": relational.part_string_funcs,
+        "events_tumbling": relational.events_tumbling_window,
+        "events_sessionize": relational.events_sessionize,
+        # training-data
+        "textstats": q_textstats,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
+        # pipeline
         "pipeline_extract": sql_oracles.pipeline_extract_sql(),
         "classify_branch": sql_oracles.classify_branch_sql(),
         "span_kind_counts": sql_oracles.span_kind_counts_sql(),
         "ocr_pages": sql_oracles.ocr_pages_sql(),
+        # training-data
+        "textstats": sql_oracles.textstats_sql(),
+        "dedup_exact": sql_oracles.dedup_exact_sql(),
+        "minhash_signatures": sql_oracles.minhash_signatures_sql(k=8),
+        "simhash": sql_oracles.simhash_sql(bits=32),
+        "lsh_near_dup_pairs": sql_oracles.lsh_candidate_pairs_sql(
+            k=16, bands=4
+        ),
+        "ann_cosine_topk": sql_oracles.ann_cosine_topk_sql(k=5),
+        "ann_lsh_topk": sql_oracles.ann_lsh_topk_sql(
+            dim=64, n_planes=8, k=5
+        ),
+        # multimodal_meta / frame_sample intentionally omitted: binary
+        # payload synthesis (iterated md5 stream) is not expressible in
+        # a single SQL query -> driver records the rows-only check.
     }
+    out.update(sql_oracles.RELATIONAL_ORACLES)
+    return out

@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample stages
+as Arrow-batched `mapInPandas` operators.
+
+The Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real and tested.  The actual codec work is STUBBED: no
+image/audio libraries exist in this container, so `decode_payload`
+raises NotImplementedError unless `fake=True`, in which case a
+deterministic fake decoder (header parse + md5-derived pixels) stands
+in.  Swapping in PIL/ffmpeg later only changes `_decode_real`.
+
+Payload format of the synthetic media blobs (media_blob()):
+  bytes 0-3   magic b'MMG1'
+  bytes 4-5   width  (big-endian uint16)
+  bytes 6-7   height (big-endian uint16)
+  byte  8     modality (0=image, 1=audio, 2=video)
+  bytes 9..   md5-stream payload (deterministic from the ref string)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"MMG1"
+MODALITIES = ("image", "audio", "video")
+
+META_SCHEMA = (
+    "width int, height int, modality string, payload_bytes long, valid boolean"
+)
+
+
+def media_blob(ref: str, payload_len: int = 256) -> bytes:
+    """Deterministic synthetic media payload for a media_ref."""
+    h = hashlib.md5(ref.encode()).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    modality = h[2] % 3
+    stream = b""
+    cur = h
+    while len(stream) < payload_len:
+        cur = hashlib.md5(cur).digest()
+        stream += cur
+    return (
+        MAGIC
+        + struct.pack(">HHB", width, height, modality)
+        + stream[:payload_len]
+    )
+
+
+def with_media_blob(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Attach a deterministic binary payload column for each ref using
+    built-ins only (unhex of an md5 chain) — used by tests/benchmarks
+    where real object-store bytes would be fetched instead."""
+
+    @F.pandas_udf("binary")
+    def blob_udf(refs: pd.Series) -> pd.Series:
+        return refs.map(lambda r: media_blob(r) if r is not None else None)
+
+    return df.withColumn("media_blob", blob_udf(F.col(ref_col)))
+
+
+def _decode_real(payload: bytes) -> dict:  # pragma: no cover
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg, not present in this "
+        "container; run with fake=True or install codecs"
+    )
+
+
+def _decode_fake(payload: bytes) -> dict:
+    if payload is None or len(payload) < 9 or payload[:4] != MAGIC:
+        return {
+            "width": None, "height": None, "modality": None,
+            "payload_bytes": len(payload) if payload is not None else 0,
+            "valid": False,
+        }
+    width, height, mod = struct.unpack(">HHB", payload[4:9])
+    return {
+        "width": width,
+        "height": height,
+        "modality": MODALITIES[mod % 3],
+        "payload_bytes": len(payload) - 9,
+        "valid": True,
+    }
+
+
+def decode_metadata(
+    df: DataFrame, blob_col: str = "media_blob", fake: bool = True
+) -> DataFrame:
+    """Decode stage over `mapInPandas`: streams Arrow batches of binary
+    payloads, emits typed metadata columns next to the input columns.
+    Batch-shaped exactly like a real decoder would be (bytes in one
+    column per batch, bounded by arrow.maxRecordsPerBatch)."""
+    decode = _decode_fake if fake else _decode_real
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
+        + ", " + META_SCHEMA
+    )
+    idx = [f.name for f in in_schema].index(blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode(p) for p in pdf.iloc[:, idx]]
+            meta_df = pd.DataFrame(metas, index=pdf.index)
+            yield pd.concat([pdf, meta_df], axis=1)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 4,
+    blob_col: str = "media_blob",
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Frame-sampling stage (video path): slice the payload stream into
+    fixed-size frames, keep every n-th.  Deterministic byte-level
+    stand-in for real frame extraction; exercises the explode shape a
+    video pipeline produces (one row per sampled frame)."""
+    payload = F.expr(f"substring({blob_col}, 10, 2147483647)")
+    n_frames = F.floor(F.length(payload) / frame_bytes).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(
+                payload, i * frame_bytes + 1, frame_bytes
+            ).alias("frame"),
+        ),
+    )
+    sampled = F.filter(frames, lambda fr: fr["frame_no"] % every_n == 0)
+    return df.select(
+        "*", F.explode(sampled).alias("_f")
+    ).select(
+        *[c for c in df.columns],
+        F.col("_f.frame_no").alias("frame_no"),
+        F.md5(F.col("_f.frame")).alias("frame_sig"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exact baseline.  Dot products run as
+  built-in `aggregate(zip_with(...))` expressions (JVM, codegen) over a
+  BROADCAST query set, so the big side streams once with no shuffle;
+  top-k per query is a window over the (small) candidate set.
+- Random-hyperplane LSH: the scale path.  Hyperplanes are fixed
+  deterministic literals (seeded), bucket = sign-bit string; candidate
+  generation shuffles once on the bucket key, then exact cosine
+  re-ranks within buckets.  At 100 TB you'd persist the bucketed table
+  (bucketBy on `bucket`) and probe it per query batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` rows per query row.
+
+    Plan: broadcast the query set, one narrow pass over the corpus
+    computing cosines, then a single shuffle for the per-query top-k
+    (window row_number; Spark turns the rank filter into a partial
+    top-k via TakeOrderedAndProject/WindowGroupLimit)."""
+    from pyspark.sql import Window
+
+    # float32 -> double BEFORE any arithmetic: keeps products and the
+    # sequential accumulation bit-identical to the DuckDB oracle.
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "mimeograph") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: each component derives
+    from md5(seed:plane:dim) -> [-1, 1).  Stable across Spark, Python
+    and the DuckDB oracle (planes are embedded as literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (v,) = struct.unpack(">I", h[:4])
+            row.append(v / 2147483648.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string for a vector under the given planes."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored.  Recall < 1 by design; multi-probe (flip one bit) would
+    raise it — kept single-probe for a clean oracle."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes)
+    cvec = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        cvec.alias("_cvec"),
+        lsh_bucket(cvec, planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            cvec.alias("_qvec"),
+            lsh_bucket(cvec, planes).alias("bucket"),
+        )
+    )
+    scored = c.join(q, on="bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

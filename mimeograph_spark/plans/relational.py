@@ -1,0 +1,225 @@
+"""Relational operator coverage over the driver's TPC-H-ish testdata.
+
+The reference has almost no relational surface (SURVEY.md §2.4: its
+joins/aggregations are implicit in queue bookkeeping), but a complete
+analytics engine needs the standard categories — scans, projections,
+filters, hash/broadcast joins, anti joins, aggregations, rollups,
+windows, top-k, string/date functions, sessionization.  Each query
+here is one category's representative, written scale-first:
+
+- dimension tables (region/nation/customer) joined via `broadcast()`;
+- top-k via window rank, which Spark executes as a partial top-k per
+  partition (WindowGroupLimit) before the shuffle;
+- sessionization as a lag/cumsum window — the batch equivalent of
+  Structured Streaming's session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: wide aggregation with computed measures (tests
+    map-side partial aggregation + multiple aggregates per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + top-k (join order / top-k sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast dimension chains
+    (region -> nation) — the canonical star-join plan."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def window_top_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window ranking: top-3 orders by price per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def rollup_orders_by_status_month(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rollup (grouping sets): order counts by (status, month) with
+    subtotals and grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "month", F.date_format(F.col("o_orderdate"), "yyyy-MM")
+        )
+        .rollup("o_orderstatus", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.grouping_id().cast("long").alias("grouping_level"),
+        )
+        .select(
+            "o_orderstatus", "month", "n_orders", "total_price",
+            "grouping_level",
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (set difference): customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex surface: LIKE, regexp_extract, split, substring."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.substring("p_brand", 1, 6).alias("brand_prefix"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+    )
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (batch twin of the streaming agg):
+    10-minute windows per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization via lag + cumulative sum — the batch equivalent
+    of session_window(ts, gap): a new session starts when the gap to
+    the previous event of the same user exceeds `gap_minutes`."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; NTZ -> long needs an
+    # intermediate timestamp cast (session TZ is pinned UTC).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_break = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = with_break.withColumn(
+        "session_no", F.sum("is_new_session").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )

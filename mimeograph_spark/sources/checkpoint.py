@@ -1,0 +1,136 @@
+"""Snapshot-manifest checkpoint table: Iceberg-style semantics on
+plain parquet.
+
+The reference supports replaying a failed/stalled job by id — stale
+state is deleted and the job restarts (createJob,
+/root/reference/src/mimeograph.coffee:500-512); a `completed` set
+records finished jobs when nobody is listening (:694).  At 10^12-doc
+scale the equivalent is a resumable run: results land in a checkpoint
+table in atomically-committed snapshots, and a restart processes only
+the documents that have no committed result yet (left-anti join).
+
+No iceberg-spark-runtime jar ships in this sandbox, so this module
+implements the minimal slice of the Iceberg table contract the
+pipeline needs — append-only snapshots, a JSON manifest listing
+committed files, snapshot isolation for readers (uncommitted parquet
+files are invisible because reads go through the manifest's explicit
+file list).  On a cluster with Iceberg available, `CheckpointTable`
+maps 1:1 onto an Iceberg table with `append()` commits; swap the
+implementation, keep the interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "manifest.json"
+
+
+class CheckpointTable:
+    """Append-only snapshot table at `path` (local FS or any Hadoop
+    path the driver can also reach via the local FS API)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path()):
+            return {"snapshots": []}
+        with open(self._manifest_path()) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        # Atomic: write to a temp file, rename over the manifest.  A
+        # crash mid-append leaves orphan parquet dirs that no manifest
+        # references — invisible to readers, clean replay semantics
+        # (the reference's stale-state delete, mimeograph.coffee:503-506).
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    # -- table ops ----------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> dict:
+        """Write df as a new snapshot; commit it to the manifest."""
+        snap_id = f"snap-{len(self.snapshots()):06d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        manifest = self._read_manifest()
+        snap = {
+            "id": snap_id,
+            "dir": snap_id,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        manifest["snapshots"].append(snap)
+        self._commit_manifest(manifest)
+        return snap
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Union of all committed snapshots (None if table is empty)."""
+        dirs = [
+            os.path.join(self.path, s["dir"]) for s in self.snapshots()
+        ]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def truncate(self) -> None:
+        for s in self.snapshots():
+            shutil.rmtree(os.path.join(self.path, s["dir"]), ignore_errors=True)
+        self._commit_manifest({"snapshots": []})
+
+
+def resume_filter(
+    documents: DataFrame, ckpt: CheckpointTable, key: str = "doc_id"
+) -> DataFrame:
+    """Drop documents that already have a committed result.
+
+    LEFT ANTI join against the checkpoint's committed keys — the only
+    join in the whole pipeline.  The done-keys side is a projection of
+    one column; for realistic completion fractions Spark broadcasts it
+    (or AQE converts to a broadcast join at runtime), so resume adds no
+    full shuffle of the input.
+    """
+    spark = documents.sparkSession
+    done = ckpt.read(spark)
+    if done is None:
+        return documents
+    return documents.join(
+        done.select(key).distinct(), on=key, how="left_anti"
+    )
+
+
+def run_resumable(
+    documents: DataFrame,
+    ckpt: CheckpointTable,
+    pipeline_fn,
+    meta: dict | None = None,
+) -> dict | None:
+    """One resumable increment: process the not-yet-done documents and
+    commit their results as a snapshot.  Returns the snapshot (None if
+    nothing was left to do).  Crash-safe: a failure before the manifest
+    commit leaves no visible partial state, so a rerun redoes exactly
+    the unfinished work (exactly-once results per doc_id across
+    restarts)."""
+    todo = resume_filter(documents, ckpt)
+    if todo.isEmpty():
+        return None
+    return ckpt.append(pipeline_fn(todo), meta=meta)

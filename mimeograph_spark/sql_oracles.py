@@ -113,3 +113,346 @@ SELECT s.doc_id, s."offset" AS page_offset, s.media_ref,
 FROM span_rows s JOIN flags f USING (doc_id)
 WHERE NOT f.has_native AND s.kind = 'media'
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data function oracles (functions/textstats.py, dedup.py,
+# similarity.py) — every formula mirrored in RE2-safe, DuckDB-runnable SQL.
+# ---------------------------------------------------------------------------
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS_LOWER = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def textstats_sql() -> str:
+    from .functions.textstats import LANG_MARKERS, STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        m = ", ".join(f"'{w}'" for w in markers)
+        score_exprs.append(
+            f"len(list_filter({_TOKS_LOWER}, t -> t IN ({m}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    n_winners = " + ".join(f"CASE WHEN s_{l} = best THEN 1 ELSE 0 END" for l in langs)
+    first_winner = "CASE " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+           + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_subword_tokens,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+             / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({_TOKS_LOWER}) > 0 THEN
+           len(list_filter({_TOKS_LOWER}, t -> t IN ({stop_list})))
+             / CAST(len({_TOKS_LOWER}) AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio,
+         {", ".join(score_exprs)}
+  FROM documents
+), scored AS (
+  SELECT *, {best} AS best FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_subword_tokens AS BIGINT) AS n_subword_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round((
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6) AS quality,
+       CASE WHEN best > 0 AND ({n_winners}) = 1
+            THEN {first_winner} ELSE 'und' END AS lang_pred,
+       md5({_NORM}) AS fingerprint
+FROM scored
+"""
+
+
+def dedup_exact_sql() -> str:
+    """Oracle for exact dedup over documents UNION a shifted copy."""
+    return f"""
+WITH both_copies AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), fp AS (
+  SELECT md5({_NORM}) AS fingerprint, doc_id FROM both_copies
+)
+SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+
+_SHINGLES = (
+    "CASE WHEN len(ntoks) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(ntoks) - 2), "
+    "i -> array_to_string(ntoks[i:i+2], ' '))) "
+    "ELSE [array_to_string(ntoks, ' ')] END"
+)
+
+
+def _minhash_terms(k: int) -> list[str]:
+    from .functions.dedup import MINHASH_PRIME, minhash_params
+
+    terms = []
+    for a, b in minhash_params(k):
+        terms.append(
+            f"list_min(list_transform(shs, s -> "
+            f"((('0x' || substr(md5(s), 1, 8))::BIGINT * {a} + {b}) "
+            f"% {MINHASH_PRIME})))"
+        )
+    return terms
+
+
+def minhash_signatures_sql(k: int = 8) -> str:
+    cols = ", ".join(
+        f"{t} AS mh{i}" for i, t in enumerate(_minhash_terms(k))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES} AS shs FROM toks
+)
+SELECT doc_id, {cols} FROM sh
+"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    terms = []
+    for b in range(bits):
+        mask = 1 << b
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(th, h -> (h & {mask}) != 0)) "
+            f"- len(th) > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END)"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks FROM documents
+), hashed AS (
+  SELECT doc_id,
+         list_transform(ntoks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM toks
+)
+SELECT doc_id, {" + ".join(terms)} AS simhash FROM hashed
+"""
+
+
+def lsh_candidate_pairs_sql(k: int = 16, bands: int = 4) -> str:
+    from .functions.dedup import MINHASH_PRIME, minhash_params
+
+    rows = k // bands
+    terms = _minhash_terms(k)
+    band_exprs = []
+    for b in range(bands):
+        parts = ", ".join(
+            f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        band_exprs.append(
+            f"SELECT doc_id, shs, {b} AS band, "
+            f"md5(concat_ws(',', {parts})) AS band_hash FROM sigs"
+        )
+    sig_cols = ", ".join(f"{t} AS mh{i}" for i, t in enumerate(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks FROM documents
+), sh AS (
+  SELECT doc_id, {_SHINGLES} AS shs FROM toks
+), sigs AS (
+  SELECT doc_id, shs, {sig_cols} FROM sh
+), banded AS (
+  {" UNION ALL ".join(band_exprs)}
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.shs, b.shs))
+           / CAST(len(a.shs) + len(b.shs)
+                  - len(list_intersect(a.shs, b.shs)) AS DOUBLE) AS jac
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, max(round(jac, 6)) AS jaccard
+FROM pairs GROUP BY id_a, id_b
+"""
+
+
+def ann_cosine_topk_sql(k: int = 5, modulus: int = 100) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id % {modulus} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
+                     modulus: int = 100) -> str:
+    from .functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(c) for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec, {bits} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, vec AS qvec, bucket FROM b
+  WHERE vec_id % {modulus} = 0
+), scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_dot_product(b.vec, q.qvec)
+               / (sqrt(list_dot_product(b.vec, b.vec))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator oracles (plans/relational.py)
+# ---------------------------------------------------------------------------
+
+RELATIONAL_ORACLES = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    "q5_local_suppliers": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    "window_topn": """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+    "rollup_status_month": """
+SELECT o_orderstatus, month, n_orders, total_price, grouping_level
+FROM (
+  SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS month,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS total_price,
+         CAST(GROUPING(o_orderstatus, strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+           AS grouping_level
+  FROM orders
+  GROUP BY ROLLUP (o_orderstatus, strftime(o_orderdate, '%Y-%m'))
+)
+""",
+    "anti_join_customers": """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+)
+""",
+    "string_funcs": """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       substr(p_brand, 1, 6) AS brand_prefix,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_words
+FROM part
+WHERE p_name LIKE '%widget%'
+""",
+    "events_tumbling": """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT))
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_no
+""",
+}

@@ -1,0 +1,88 @@
+"""Checkpoint/resume semantics: kill-and-resume produces exactly-once
+per-doc results identical to a single uninterrupted run (replay
+semantics of src/mimeograph.coffee:500-512), plus lineage accounting.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from mimeograph_spark.corpus import corpus_df, generate_rows
+from mimeograph_spark.oracle import expected_results
+from mimeograph_spark.plans.pipeline import extract
+from mimeograph_spark.sources.checkpoint import CheckpointTable, resume_filter, run_resumable
+from mimeograph_spark.sources.lineage import run_resumable_with_lineage
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = generate_rows(n_docs=72, seed=13, megapage_spans=150)
+    return rows, corpus_df(spark, rows)
+
+
+def _pipeline(df):
+    return extract(df, page_threshold=32)
+
+
+def test_kill_and_resume_equals_single_run(spark, tmp_path, corpus):
+    rows, docs = corpus
+    ckpt = CheckpointTable(str(tmp_path / "results"))
+
+    # "First run" processes only half the docs, then dies (simulated by
+    # feeding the pipeline a partial input before the crash).
+    first_half = docs.filter(F.crc32("doc_id") % 2 == 0)
+    run_resumable(first_half, ckpt, _pipeline)
+    n_first = ckpt.read(spark).count()
+    assert 0 < n_first < len(rows)
+
+    # Resume over the FULL input: only the missing docs run.
+    todo = resume_filter(docs, ckpt)
+    assert todo.count() == len(rows) - n_first
+    run_resumable(docs, ckpt, _pipeline)
+
+    # Third run: nothing left, no new snapshot.
+    assert run_resumable(docs, ckpt, _pipeline) is None
+    assert len(ckpt.snapshots()) == 2
+
+    # Exactly-once per doc, and equal to the oracle.
+    final = ckpt.read(spark)
+    assert final.count() == len(rows)
+    assert final.select("doc_id").distinct().count() == len(rows)
+    expected = expected_results(rows)
+    for row in final.collect():
+        exp = expected[row["doc_id"]]
+        assert [s.asDict() for s in row["spans_out"]] == exp["spans_out"]
+        assert row["status"] == exp["status"]
+        assert list(row["error_pages"]) == exp["error_pages"]
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path, corpus):
+    _, docs = corpus
+    ckpt = CheckpointTable(str(tmp_path / "r2"))
+    run_resumable(docs.limit(10), ckpt, _pipeline)
+    # Simulate a crash mid-append: parquet written but manifest not
+    # committed -> write a stray dir directly.
+    _pipeline(docs.limit(5)).write.mode("overwrite").parquet(
+        str(tmp_path / "r2" / "snap-orphan")
+    )
+    assert ckpt.read(spark).count() == 10  # orphan invisible
+
+
+def test_lineage_accounts_for_all_docs(spark, tmp_path, corpus):
+    rows, docs = corpus
+    results = CheckpointTable(str(tmp_path / "res"))
+    lineage = CheckpointTable(str(tmp_path / "lin"))
+    run_resumable_with_lineage(
+        docs, results, lineage, _pipeline, run_id="run-1"
+    )
+    lin = lineage.read(spark)
+    agg = lin.agg(
+        F.sum("doc_count").alias("docs"),
+        F.sum("span_count").alias("spans"),
+        F.sum("error_count").alias("errs"),
+    ).collect()[0]
+    assert agg["docs"] == len(rows)
+    expected = expected_results(rows)
+    assert agg["spans"] == sum(len(e["spans_out"]) for e in expected.values())
+    assert agg["errs"] == sum(len(e["error_pages"]) for e in expected.values())
+    cols = set(lin.columns)
+    assert {"run_id", "stage", "partition_id", "started", "ended", "status"} <= cols
