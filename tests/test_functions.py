@@ -1,0 +1,126 @@
+"""Edge-case unit tests for the training-data function modules,
+against pure-Python references (independent of the DuckDB oracles).
+"""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from mimeograph_spark.functions.dedup import (
+    MINHASH_PRIME,
+    lsh_candidate_pairs,
+    minhash_params,
+    simhash_near_dups,
+    with_minhash,
+)
+from mimeograph_spark.functions.multimodal import (
+    decode_metadata,
+    media_blob,
+    with_media_blob,
+)
+from mimeograph_spark.functions.similarity import brute_force_topk
+from mimeograph_spark.functions.textstats import with_textstats
+
+
+def _py_shingles(text, n=3):
+    import re
+    toks = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    if len(toks) >= n:
+        out = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            if g not in out:
+                out.append(g)
+        return out
+    return [" ".join(toks)]
+
+
+def _py_minhash(text, k):
+    sh = _py_shingles(text)
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+    return [
+        min((h * a + b) % MINHASH_PRIME for h in hs)
+        for a, b in minhash_params(k)
+    ]
+
+
+def test_minhash_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",
+        "single",
+        "a a a a a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: list(r["minhash"]) for r in with_minhash(df, k=6).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_minhash(t, 6), t
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated to anything here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(df, k=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups_on_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zzz yyy xxx www vvv uuu")],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dups(df, max_hamming=0).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = {
+        r["query_id"]: (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, queries, k=1).collect()
+    }
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid
+        assert cos == pytest.approx(1.0, abs=1e-5)
+
+
+def test_textstats_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the the the the the the"),
+         (4, "der die und das der die")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in with_textstats(df).collect()}
+    assert got[1]["n_tokens"] == 0 and got[2]["n_tokens"] == 0
+    assert got[3]["lang_pred"] == "en"
+    assert got[4]["lang_pred"] == "de"
+    assert got[3]["stopword_ratio"] == 1.0
+
+
+def test_media_blob_roundtrip(spark):
+    refs = spark.createDataFrame([("x:1",), ("x:2",)], "media_ref string")
+    meta = {
+        r["media_ref"]: r.asDict()
+        for r in decode_metadata(with_media_blob(refs)).collect()
+    }
+    raw = media_blob("x:1")
+    assert meta["x:1"]["valid"] is True
+    assert meta["x:1"]["payload_bytes"] == len(raw) - 9
+    assert meta["x:1"]["width"] == int.from_bytes(raw[4:6], "big")
+    assert meta["x:1"]["height"] == int.from_bytes(raw[6:8], "big")
