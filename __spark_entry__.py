@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": relational.part_string_funcs,
         "events_tumbling": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
+        "distinct_active_users": relational.distinct_active_users,
+        "pivot_status_priority": relational.pivot_status_by_priority,
         # training-data
         "textstats": q_textstats,
         "dedup_exact": q_dedup_exact,

@@ -61,22 +61,49 @@ def shingle_hash(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
 
 
-def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
-    """k-element MinHash signature of the shingle set; pure built-ins:
-    array_min over a transformed hash array per permutation."""
-    hs = F.transform(shingles(text, n), shingle_hash)
+def minhash_from_hashes(hs: Column, k: int = 16) -> Column:
+    """k-element MinHash signature from an already-hashed shingle
+    array: array_min over one cheap affine transform per permutation."""
+    def permute(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
     sigs = [
-        F.array_min(
-            F.transform(hs, lambda h: (h * a + b) % MINHASH_PRIME)
-        )
+        F.array_min(F.transform(hs, permute(a, b)))
         for a, b in minhash_params(k)
     ]
     return F.array(*sigs)
 
 
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """k-element MinHash signature of the shingle set.
+
+    NOTE: inlines shingling+md5 into every permutation — use only for
+    one-off expressions.  Query paths should project the hashed shingle
+    array ONCE and call `minhash_from_hashes` (16x less md5 work; see
+    with_minhash / lsh_candidate_pairs)."""
+    hs = F.transform(shingles(text, n), shingle_hash)
+    return minhash_from_hashes(hs, k)
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "_hs"
+) -> DataFrame:
+    """Project the md5-hashed shingle array as a real column so
+    downstream MinHash permutations reuse it instead of recomputing
+    shingling+md5 per permutation (Catalyst's CollapseProject keeps the
+    materialization because duplicating a non-cheap expression 16x is
+    against its own cost rule)."""
+    return df.withColumn(
+        out, F.transform(shingles(F.col(text_col), n), shingle_hash)
+    )
+
+
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16,
                  n: int = 3) -> DataFrame:
-    return df.withColumn("minhash", minhash_signature(F.col(text_col), k, n))
+    staged = with_shingle_hashes(df, text_col, n)
+    return staged.withColumn(
+        "minhash", minhash_from_hashes(F.col("_hs"), k)
+    ).drop("_hs")
 
 
 def lsh_candidate_pairs(
@@ -86,26 +113,33 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
-    max_bucket: int = 64,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join,
-    emit (id_a < id_b) pairs with their exact shingle-Jaccard.
+    """MinHash-LSH candidate pairs: band the signature, self-join on
+    (band, band_hash), emit (id_a < id_b) pairs with their exact
+    shingle-Jaccard.
 
-    One shuffle on (band, band_hash); per-bucket pair generation stays
-    bounded by `max_bucket` (oversized buckets are truncated after an
-    id-sort, logged by the caller if needed)."""
+    The candidate join shuffles only (id, band_hash, shingle-hash
+    array) rows — never the O(n^2) pair space: only colliding band
+    buckets produce join output, which is the whole point of banding.
+    Jaccard reranking runs on uint32 shingle HASHES, not strings, so
+    the intersect is cheap; AQE's skew-join splitting bounds a
+    degenerate bucket (e.g. thousands of identical docs)."""
     rows = k // bands
-    sig = minhash_signature(F.col(text_col), k, n)
-    banded = df.select(
+    staged = with_shingle_hashes(df, text_col, n).select(
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n).alias("_sh"),
+        F.array_sort(F.array_distinct(F.col("_hs"))).alias("_sh"),
+        minhash_from_hashes(F.col("_hs"), k).alias("_sig"),
+    )
+    banded = staged.select(
+        "_id",
+        "_sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
                     F.array_join(
                         F.transform(
-                            F.slice(sig, b * rows + 1, rows),
+                            F.slice(F.col("_sig"), b * rows + 1, rows),
                             lambda v: v.cast("string"),
                         ),
                         ",",
@@ -114,43 +148,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    buckets = banded.groupBy("band", "band_hash").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("_id", "_sh"))),
-            1,
-            max_bucket,
-        ).alias("members")
-    ).filter(F.size("members") > 1)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("members") - 2),
-                    lambda i: F.transform(
-                        F.slice(
-                            F.col("members"),
-                            i + 2,
-                            F.size("members") - i - 1,
-                        ),
-                        lambda m: F.struct(
-                            F.col("members")[i]["_id"].alias("id_a"),
-                            m["_id"].alias("id_b"),
-                            F.col("members")[i]["_sh"].alias("sh_a"),
-                            m["_sh"].alias("sh_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
     )
-    jac = F.size(F.array_intersect("p.sh_a", "p.sh_b")) / F.size(
-        F.array_union("p.sh_a", "p.sh_b")
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         pairs.select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
         )
         .groupBy("id_a", "id_b")
         .agg(F.max("jaccard").alias("jaccard"))

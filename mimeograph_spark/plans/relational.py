@@ -223,3 +223,32 @@ def events_sessionize(
             F.round(F.sum("value"), 4).alias("session_value"),
         )
     )
+
+
+def distinct_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: exact distinct users per event type (at
+    100 TB you would swap in approx_count_distinct; exact kept here so
+    the DuckDB oracle can value-match)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, status rows x priority columns (explicit
+    pivot values so the plan stays single-pass, no value-discovery
+    scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+        for i, p in enumerate(priorities)
+    ]
+    return pv.select(*cols)

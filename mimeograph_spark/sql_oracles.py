@@ -269,7 +269,10 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id, {_SHINGLES} AS shs FROM toks
 ), sigs AS (
-  SELECT doc_id, shs, {sig_cols} FROM sh
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(shs,
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS shs,
+         {sig_cols} FROM sh
 ), banded AS (
   {" UNION ALL ".join(band_exprs)}
 ), pairs AS (
@@ -433,6 +436,21 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT))
        round(sum(value), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
+""",
+    "distinct_active_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    "pivot_status_priority": """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus
 """,
     "events_sessionize": """
 WITH flagged AS (
