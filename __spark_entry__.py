@@ -29,6 +29,7 @@ from mimeograph_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     simhash64,
+    simhash_near_dups,
     with_minhash,
 )
 from mimeograph_spark.functions.multimodal import (
@@ -152,6 +153,17 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, k=16, bands=4)
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (multi-table blocking) over documents
+    plus an id-shifted exact copy, so the corpus is guaranteed to
+    contain hamming-0 pairs alongside organic near-dups."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return simhash_near_dups(docs.unionByName(shifted))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -231,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -253,13 +266,16 @@ def oracle_sql() -> dict[str, str]:
         "lsh_near_dup_pairs": sql_oracles.lsh_candidate_pairs_sql(
             k=16, bands=4
         ),
+        "simhash_near_dups": sql_oracles.simhash_near_dups_sql(),
         "ann_cosine_topk": sql_oracles.ann_cosine_topk_sql(k=5),
         "ann_lsh_topk": sql_oracles.ann_lsh_topk_sql(
             dim=64, n_planes=8, k=5
         ),
-        # multimodal_meta / frame_sample intentionally omitted: binary
-        # payload synthesis (iterated md5 stream) is not expressible in
-        # a single SQL query -> driver records the rows-only check.
+        # multimodal: payload is a counter-block md5 stream, so both
+        # the decoded metadata and the per-frame signatures are
+        # closed-form over string md5 (multimodal.py docstring).
+        "multimodal_meta": sql_oracles.multimodal_meta_sql(),
+        "frame_sample": sql_oracles.frame_sample_sql(every_n=4),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

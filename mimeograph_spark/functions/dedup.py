@@ -9,11 +9,19 @@ every stage oracle-verifiable.
 Scale notes:
 - exact/shingle dedup: one hash-aggregate shuffle on the fingerprint —
   the minimal possible plan; AQE handles skewed fingerprint groups.
-- MinHash LSH: signatures are narrow (per-row arrays); candidate
-  generation shuffles once on (band, band_hash) — the standard
-  banding trick, so no O(n^2) pair join ever materializes.  Bucket
-  sizes are capped (`max_bucket`) so a degenerate bucket (e.g. empty
-  docs) cannot produce a quadratic pair explosion on one reducer.
+- MinHash LSH (lsh_candidate_pairs): duplicate-heavy corpora are the
+  normal case for training data, so the operator first collapses
+  exact-fingerprint groups to one canonical representative (emitting
+  the member->canonical links linearly, never the O(m^2) pair set of
+  an identical-doc cluster), then bands only the representatives.  The
+  band self-join carries ids only — shingle arrays are re-joined just
+  for the candidate rerank — and buckets larger than `max_bucket` are
+  dropped before the join (a real cap, enforced by a window count),
+  so no reducer can ever see a quadratic pair blowup.
+- SimHash (simhash_near_dups): multi-table blocking — the signature
+  splits into n_blocks contiguous blocks and pairs join per block, so
+  recall is 100% for hamming <= n_blocks - 1 (pigeonhole) instead of
+  the top-bits-only heuristic; blocks are capped like LSH buckets.
 """
 
 from __future__ import annotations
@@ -113,26 +121,64 @@ def lsh_candidate_pairs(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    max_bucket: int = 64,
+    persist_reps: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, self-join on
-    (band, band_hash), emit (id_a < id_b) pairs with their exact
-    shingle-Jaccard.
+    """MinHash-LSH near-dup pairs, duplicate-hardened.
 
-    The candidate join shuffles only (id, band_hash, shingle-hash
-    array) rows — never the O(n^2) pair space: only colliding band
-    buckets produce join output, which is the whole point of banding.
-    Jaccard reranking runs on uint32 shingle HASHES, not strings, so
-    the intersect is cheap; AQE's skew-join splitting bounds a
-    degenerate bucket (e.g. thousands of identical docs)."""
+    Stage 1 (exact collapse): docs with an identical normalized-text
+    fingerprint form one group; each non-canonical member links to the
+    group's canonical (min id) with jaccard = 1.0 — identical
+    normalized text means identical shingle sets, so 1.0 is exact.
+    This makes an m-doc identical cluster cost m-1 output rows instead
+    of the m^2 pairs a naive band join would emit — the normal case on
+    crawled training data.
+
+    Stage 2 (banding, canonical reps only): band the MinHash
+    signature; drop (band, band_hash) buckets with more than
+    `max_bucket` members (window count — a real cap, so one degenerate
+    bucket can never hand a reducer a quadratic join); self-join IDS
+    ONLY on (band, band_hash); distinct the candidate id-pairs; then
+    re-join the sorted shingle-hash arrays once per side for the exact
+    Jaccard rerank.  The heavy arrays never ride through the band
+    explode or the self-join.
+
+    The representative frame (id, shingle hashes, signature) feeds the
+    banding and both rerank joins; `persist_reps` materializes it once
+    (MEMORY_AND_DISK) — the signature-table materialization every
+    production LSH pipeline does — instead of recomputing shingle md5
+    per consumer."""
     rows = k // bands
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    groups = fp.groupBy("_fp").agg(F.min("_id").alias("_canon"))
+    member_pairs = (
+        fp.join(groups, on="_fp")
+        .filter(F.col("_id") != F.col("_canon"))
+        .select(
+            F.col("_canon").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
     staged = with_shingle_hashes(df, text_col, n).select(
         F.col(id_col).alias("_id"),
         F.array_sort(F.array_distinct(F.col("_hs"))).alias("_sh"),
         minhash_from_hashes(F.col("_hs"), k).alias("_sig"),
     )
-    banded = staged.select(
+    reps = staged.join(
+        groups.select(F.col("_canon").alias("_id")), on="_id", how="left_semi"
+    )
+    if persist_reps:
+        from pyspark.storagelevel import StorageLevel
+
+        reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
+
+    banded = reps.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -148,8 +194,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "band_hash")
+    capped = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -159,19 +213,23 @@ def lsh_candidate_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    rerank = (
+        cand.join(
+            reps.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            reps.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            on="id_b",
         )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("jaccard").alias("jaccard"))
-    )
+    scored = rerank.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return member_pairs.unionByName(scored)
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -228,27 +286,63 @@ def simhash_near_dups(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 3,
-    block_bits: int = 8,
+    n_blocks: int = 4,
+    max_block: int = 256,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the top `block_bits` bits (one
-    shuffle), compare within blocks, keep pairs within `max_hamming`.
-    Blocking bounds the pair space the way LSH banding does."""
+    """SimHash near-dup pairs via multi-table blocking.
+
+    The `bits`-bit signature splits into `n_blocks` contiguous blocks;
+    a pair within hamming distance n_blocks - 1 must agree EXACTLY on
+    at least one block (pigeonhole), so joining per (block_id,
+    block_value) has 100% recall for max_hamming <= n_blocks - 1 —
+    unlike top-bits-only blocking, which silently misses near-dups
+    that differ in the chosen bits.  Blocks larger than `max_block`
+    are dropped before the self-join (same cap discipline as LSH
+    banding), and candidate pairs are deduped before the hamming
+    filter."""
+    assert bits % n_blocks == 0, "bits must divide evenly into blocks"
+    assert max_hamming <= n_blocks - 1, (
+        "pigeonhole recall guarantee requires max_hamming <= n_blocks-1"
+    )
+    bw = bits // n_blocks
+    mask = (1 << bw) - 1
     sh = df.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col), bits).alias("_sh")
     )
-    blocked = sh.withColumn(
-        "_block", F.shiftright("_sh", bits - block_bits)
+    blocked = sh.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_sh", j * bw).bitwiseAND(F.lit(mask))
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("block_id", "block_val"),
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    from pyspark.sql import Window
+
+    block_w = Window.partitionBy("block_id", "block_val")
+    capped = (
+        blocked.withColumn("_bn", F.count(F.lit(1)).over(block_w))
+        .filter(F.col("_bn") <= max_block)
+        .drop("_bn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     return (
-        a.join(b, on="_block")
-        .filter(F.col("a._id") < F.col("b._id"))
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -14,7 +14,13 @@ Payload format of the synthetic media blobs (media_blob()):
   bytes 4-5   width  (big-endian uint16)
   bytes 6-7   height (big-endian uint16)
   byte  8     modality (0=image, 1=audio, 2=video)
-  bytes 9..   md5-stream payload (deterministic from the ref string)
+  bytes 9..   counter-block stream: block i = md5(f"{ref}:{i}").digest()
+              (16 bytes each), concatenated and truncated to payload_len
+
+The counter-block stream (vs a digest chain) keeps every derived value
+closed-form over string md5, so the DuckDB oracle can verify both the
+metadata decode AND the per-frame signatures bit-for-bit
+(sql_oracles.multimodal_meta_sql / frame_sample_sql).
 """
 
 from __future__ import annotations
@@ -42,10 +48,10 @@ def media_blob(ref: str, payload_len: int = 256) -> bytes:
     height = 16 + h[1] % 240
     modality = h[2] % 3
     stream = b""
-    cur = h
+    i = 0
     while len(stream) < payload_len:
-        cur = hashlib.md5(cur).digest()
-        stream += cur
+        stream += hashlib.md5(f"{ref}:{i}".encode()).digest()
+        i += 1
     return (
         MAGIC
         + struct.pack(">HHB", width, height, modality)
@@ -122,7 +128,12 @@ def frame_sample(
     """Frame-sampling stage (video path): slice the payload stream into
     fixed-size frames, keep every n-th.  Deterministic byte-level
     stand-in for real frame extraction; exercises the explode shape a
-    video pipeline produces (one row per sampled frame)."""
+    video pipeline produces (one row per sampled frame).
+
+    frame_sig hashes the hex encoding of the frame bytes (md5 over a
+    string) so the signature is replayable by the DuckDB oracle, which
+    has no binary-input hash.  A payload shorter than one frame emits
+    zero rows (explode of an empty array), not a phantom frame 0."""
     payload = F.expr(f"substring({blob_col}, 10, 2147483647)")
     n_frames = F.floor(F.length(payload) / frame_bytes).cast("int")
     frames = F.transform(
@@ -134,11 +145,16 @@ def frame_sample(
             ).alias("frame"),
         ),
     )
-    sampled = F.filter(frames, lambda fr: fr["frame_no"] % every_n == 0)
+    sampled = F.when(
+        n_frames > 0,
+        F.filter(frames, lambda fr: fr["frame_no"] % every_n == 0),
+    ).otherwise(
+        F.lit([]).cast("array<struct<frame_no:int,frame:binary>>")
+    )
     return df.select(
         "*", F.explode(sampled).alias("_f")
     ).select(
         *[c for c in df.columns],
         F.col("_f.frame_no").alias("frame_no"),
-        F.md5(F.col("_f.frame")).alias("frame_sig"),
+        F.md5(F.lower(F.hex(F.col("_f.frame")))).alias("frame_sig"),
     )

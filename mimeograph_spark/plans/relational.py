@@ -55,7 +55,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + agg + top-k (join order / top-k sort)."""
+    """TPC-H Q3: 3-way join + agg + top-k (join order / top-k sort).
+
+    No broadcast hints: orders and customer grow with the corpus, so a
+    forced broadcast OOMs executors at scale.  AQE picks broadcast vs
+    shuffled-hash/SMJ from runtime sizes (and at sf0.01 it still
+    broadcasts the filtered sides on its own)."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -66,8 +71,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -80,8 +85,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join with two broadcast dimension chains
-    (region -> nation) — the canonical star-join plan."""
+    """TPC-H Q5 shape: 6-way join with a broadcast dimension chain
+    (region -> nation) — the canonical star-join plan.
+
+    Only the true fixed-cardinality dimensions (region, nation) carry
+    broadcast hints.  orders/customer/supplier grow with the corpus:
+    forcing them broadcast is the textbook scale-killer, so their join
+    strategy is left to AQE's runtime size statistics."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -92,10 +102,10 @@ def q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

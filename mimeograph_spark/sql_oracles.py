@@ -248,9 +248,12 @@ SELECT doc_id, {" + ".join(terms)} AS simhash FROM hashed
 """
 
 
-def lsh_candidate_pairs_sql(k: int = 16, bands: int = 4) -> str:
-    from .functions.dedup import MINHASH_PRIME, minhash_params
-
+def lsh_candidate_pairs_sql(
+    k: int = 16, bands: int = 4, max_bucket: int = 64
+) -> str:
+    """Mirrors dedup.lsh_candidate_pairs: exact-fingerprint collapse
+    (member->canonical links at jaccard 1.0), banding over canonical
+    reps only, bucket cap, ids-only candidate join, Jaccard rerank."""
     rows = k // bands
     terms = _minhash_terms(k)
     band_exprs = []
@@ -259,13 +262,22 @@ def lsh_candidate_pairs_sql(k: int = 16, bands: int = 4) -> str:
             f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)
         )
         band_exprs.append(
-            f"SELECT doc_id, shs, {b} AS band, "
+            f"SELECT doc_id, {b} AS band, "
             f"md5(concat_ws(',', {parts})) AS band_hash FROM sigs"
         )
     sig_cols = ", ".join(f"{t} AS mh{i}" for i, t in enumerate(terms))
     return f"""
-WITH toks AS (
+WITH fp AS (
+  SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+), groups AS (
+  SELECT fingerprint, min(doc_id) AS canonical FROM fp GROUP BY fingerprint
+), member_pairs AS (
+  SELECT g.canonical AS id_a, f.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM fp f JOIN groups g USING (fingerprint)
+  WHERE f.doc_id <> g.canonical
+), toks AS (
   SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks FROM documents
+  WHERE doc_id IN (SELECT canonical FROM groups)
 ), sh AS (
   SELECT doc_id, {_SHINGLES} AS shs FROM toks
 ), sigs AS (
@@ -275,16 +287,78 @@ WITH toks AS (
          {sig_cols} FROM sh
 ), banded AS (
   {" UNION ALL ".join(band_exprs)}
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         len(list_intersect(a.shs, b.shs))
-           / CAST(len(a.shs) + len(b.shs)
-                  - len(list_intersect(a.shs, b.shs)) AS DOUBLE) AS jac
-  FROM banded a JOIN banded b
+), capped AS (
+  SELECT * FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), rerank AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.shs, sb.shs))
+           / CAST(len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6)
+           AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
 )
-SELECT id_a, id_b, max(round(jac, 6)) AS jaccard
-FROM pairs GROUP BY id_a, id_b
+SELECT * FROM member_pairs
+UNION ALL
+SELECT * FROM rerank
+"""
+
+
+def simhash_near_dups_sql(
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block: int = 256,
+) -> str:
+    """Mirrors dedup.simhash_near_dups (multi-table blocking + cap +
+    dedup + hamming filter) over documents UNION a shifted copy."""
+    bw = bits // n_blocks
+    mask = (1 << bw) - 1
+    terms = []
+    for b in range(bits):
+        m = 1 << b
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(th, h -> (h & {m}) != 0)) "
+            f"- len(th) > 0 THEN CAST({m} AS BIGINT) ELSE 0 END)"
+        )
+    block_exprs = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {j} AS block_id, (sh >> {j * bw}) & {mask} "
+        f"AS block_val FROM sh"
+        for j in range(n_blocks)
+    )
+    return f"""
+WITH both_copies AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM both_copies
+), hashed AS (
+  SELECT doc_id,
+         list_transform(ntoks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM toks
+), sh AS (
+  SELECT doc_id, {" + ".join(terms)} AS sh FROM hashed
+), blocks AS (
+  {block_exprs}
+), capped AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY block_id, block_val) <= {max_block}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+  FROM capped a JOIN capped b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
@@ -339,6 +413,57 @@ WITH b AS (
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal oracles (functions/multimodal.py) — the synthetic payload is
+# header(md5(ref) bytes 0-2) + counter-block stream (block i =
+# unhex(md5(ref || ':' || i))), so every decoded field and every frame
+# signature is closed-form over string md5.
+# ---------------------------------------------------------------------------
+
+_REF_MD5 = "md5(media_ref)"
+
+
+def multimodal_meta_sql(payload_len: int = 256) -> str:
+    """Oracle for decode_metadata over with_media_blob('m:'||doc_id):
+    width/height/modality are pure functions of md5(ref) header bytes;
+    the payload is always well-formed -> valid, payload_bytes const."""
+    return f"""
+WITH refs AS (
+  SELECT 'm:' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+)
+SELECT media_ref,
+       16 + ('0x' || substr({_REF_MD5}, 1, 2))::INT % 240 AS width,
+       16 + ('0x' || substr({_REF_MD5}, 3, 2))::INT % 240 AS height,
+       CASE ('0x' || substr({_REF_MD5}, 5, 2))::INT % 3
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS modality,
+       CAST({payload_len} AS BIGINT) AS payload_bytes,
+       TRUE AS valid
+FROM refs
+"""
+
+
+def frame_sample_sql(
+    every_n: int = 4, payload_len: int = 256, frame_bytes: int = 16
+) -> str:
+    """Oracle for frame_sample over with_media_blob('v:'||doc_id<50).
+    With frame_bytes = md5 digest size, frame k is exactly stream block
+    k, so lower(hex(frame)) == md5(ref || ':' || k) and the Spark-side
+    frame_sig = md5(lower(hex(frame))) == md5(md5(ref || ':' || k))."""
+    assert frame_bytes == 16, "oracle covers the block-aligned default"
+    n_frames = payload_len // frame_bytes
+    return f"""
+WITH refs AS (
+  SELECT 'v:' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents WHERE doc_id < 50
+)
+SELECT media_ref,
+       CAST(k AS INT) AS frame_no,
+       md5(md5(media_ref || ':' || CAST(k AS VARCHAR))) AS frame_sig
+FROM refs, generate_series(0, {n_frames - 1}, {every_n}) AS t(k)
 """
 
 

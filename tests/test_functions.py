@@ -16,6 +16,7 @@ from mimeograph_spark.functions.dedup import (
 )
 from mimeograph_spark.functions.multimodal import (
     decode_metadata,
+    frame_sample,
     media_blob,
     with_media_blob,
 )
@@ -76,6 +77,73 @@ def test_lsh_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_identical_cluster_is_linear(spark):
+    """1k identical docs must produce m-1 member->canonical links (all
+    jaccard 1.0), never the O(m^2) pair set — the duplicate-heavy-crawl
+    case the bucket-capped, exact-collapsed design exists for."""
+    rows = [(i, "same exact text repeated everywhere") for i in range(1000)]
+    rows.append((5000, "a totally different document about other things"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(df, k=16, bands=4).collect()
+    assert len(pairs) == 999
+    assert all(p["id_a"] == 0 and p["jaccard"] == 1.0 for p in pairs)
+    assert {p["id_b"] for p in pairs} == set(range(1, 1000))
+
+
+def test_lsh_bucket_cap_drops_megabuckets(spark):
+    """With max_bucket=1 every band bucket with >=2 reps is dropped, so
+    only the exact member->canonical links survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, base)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(df, k=16, bands=8, max_bucket=1).collect()
+    }
+    assert pairs == {(1, 3): 1.0}  # exact link kept, banded pair capped away
+
+
+def _py_simhash(text, bits=32):
+    import re
+    toks = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    out = 0
+    for b in range(bits):
+        vote = sum(1 if h & (1 << b) else -1 for h in hs)
+        if vote > 0:
+            out |= 1 << b
+    return out
+
+
+def test_simhash_blocking_recall_matches_bruteforce(spark):
+    """Multi-table blocking must find EVERY pair within max_hamming
+    (pigeonhole guarantee), verified against all-pairs hamming."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # 1-token change
+        "alpha beta gamma delta epsilon zeta nu iota",
+        "completely different words unrelated to the others entirely",
+        "completely different words unrelated to the others entirelx",
+        "mid range document with some shared alpha beta words here",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    sigs = {i: _py_simhash(t) for i, t in rows}
+    want = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i in sigs
+        for j in sigs
+        if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= 3
+    }
+    assert got == want
+
+
 def test_simhash_near_dups_on_identical_docs(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
@@ -124,3 +192,30 @@ def test_media_blob_roundtrip(spark):
     assert meta["x:1"]["payload_bytes"] == len(raw) - 9
     assert meta["x:1"]["width"] == int.from_bytes(raw[4:6], "big")
     assert meta["x:1"]["height"] == int.from_bytes(raw[6:8], "big")
+
+
+def test_frame_sample_short_payload_emits_no_rows(spark):
+    """A payload shorter than one frame must yield zero frames — not a
+    phantom frame_no=0 over a partial slice."""
+    full = media_blob("v:full")          # 256-byte stream -> 16 frames
+    short = full[:9 + 7]                 # header + 7 bytes < frame_bytes
+    df = spark.createDataFrame(
+        [("v:full", bytearray(full)), ("v:short", bytearray(short))],
+        "media_ref string, media_blob binary",
+    )
+    got = frame_sample(df, every_n=4).groupBy("media_ref").count().collect()
+    counts = {r["media_ref"]: r["count"] for r in got}
+    assert counts == {"v:full": 4}  # frames 0,4,8,12; v:short absent
+
+
+def test_frame_sig_matches_python(spark):
+    """frame_sig = md5(hex(frame)); with 16-byte frames each frame is
+    stream block k, so the sig is md5(md5('ref:k'))."""
+    df = spark.createDataFrame([("v:9",)], "media_ref string")
+    got = {
+        r["frame_no"]: r["frame_sig"]
+        for r in frame_sample(with_media_blob(df), every_n=4).collect()
+    }
+    for k in (0, 4, 8, 12):
+        inner = hashlib.md5(f"v:9:{k}".encode()).hexdigest()
+        assert got[k] == hashlib.md5(inner.encode()).hexdigest()
