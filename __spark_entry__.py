@@ -10,10 +10,14 @@ Families:
                  over the derived interleaved corpus
 - relational   : standard operator categories (§2.4) on the TPC-H-ish
                  tables — joins, windows, rollups, set ops, sessions
-- training-data: dedup (exact/minhash/LSH/simhash), similarity search
-                 (brute cosine / LSH), text analysis, multimodal
-                 plumbing (rows-only checks where binary payloads are
-                 not SQL-expressible)
+- training-data: dedup (exact/minhash/LSH/simhash/embedding-cosine),
+                 similarity search (brute cosine / multi-probe LSH),
+                 text analysis (incl. UDAF percentiles + UDTF
+                 chunking), multimodal decode/frame-sample
+
+Every registered query has a DuckDB oracle — including the multimodal
+payloads, whose synthetic byte streams are deliberately closed-form
+over string md5 so SQL can replay them.
 """
 
 from __future__ import annotations
@@ -37,8 +41,16 @@ from mimeograph_spark.functions.multimodal import (
     frame_sample,
     with_media_blob,
 )
-from mimeograph_spark.functions.similarity import brute_force_topk, lsh_topk
-from mimeograph_spark.functions.textstats import with_textstats
+from mimeograph_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+from mimeograph_spark.functions.textstats import (
+    quality_percentiles_by_lang,
+    token_chunks_udtf_df,
+    with_textstats,
+)
 from mimeograph_spark.operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
@@ -65,8 +77,11 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full chain: classify -> branch -> OCR (pandas UDF) -> stitch."""
-    return extract_flat(_documents(spark, sf_dir))
+    """Full chain: classify -> branch -> OCR (pandas UDF) -> stitch.
+    single_scan: the input is a parquet scan, exactly the case where
+    caching the classified frame beats re-scanning (pipeline.extract
+    docstring has the measured trade-off)."""
+    return extract_flat(_documents(spark, sf_dir), single_scan=True)
 
 
 def q_classify_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +142,17 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (UDAF) via applyInPandas: per-language
+    quality percentiles — SURVEY §2.4 UDF/UDAF/UDTF surface."""
+    return quality_percentiles_by_lang(_read(spark, sf_dir, "documents"))
+
+
+def q_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF + LATERAL join (SURVEY §2.4 UDTF surface)."""
+    return token_chunks_udtf_df(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     shifted = docs.select(
@@ -178,6 +204,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries, dim=64, n_planes=8, k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings plus an
+    id-shifted exact copy (guaranteed cosine-1.0 duplicates), candidate
+    generation bucketed by hyperplane LSH."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dups(emb.unionByName(shifted), dim=64)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": relational.events_sessionize,
         "distinct_active_users": relational.distinct_active_users,
         "pivot_status_priority": relational.pivot_status_by_priority,
+        "set_ops_cohorts": relational.customer_cohort_set_ops,
         # training-data
         "textstats": q_textstats,
+        "udaf_quality_percentiles": q_udaf_quality_percentiles,
+        "udtf_token_chunks": q_udtf_token_chunks,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -246,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "semi_join_q4": relational.semi_join_order_priority,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
     }
@@ -260,6 +302,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_pages": sql_oracles.ocr_pages_sql(),
         # training-data
         "textstats": sql_oracles.textstats_sql(),
+        "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
+        "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
+        "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,
         "dedup_exact": sql_oracles.dedup_exact_sql(),
         "minhash_signatures": sql_oracles.minhash_signatures_sql(k=8),
         "simhash": sql_oracles.simhash_sql(bits=32),
@@ -271,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sql_oracles.ann_lsh_topk_sql(
             dim=64, n_planes=8, k=5
         ),
+        "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
+        "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,
         # multimodal: payload is a counter-block md5 stream, so both
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).

@@ -116,6 +116,63 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket the corpus by
+    hyperplane LSH, self-join within buckets only, keep pairs with
+    cosine >= threshold.
+
+    The same capped-bucket discipline as the text dedup operators: the
+    pair space is bounded by bucket membership (never O(n^2)), and
+    buckets above `max_bucket` are dropped before the self-join.  At
+    `threshold` ~0.99 a true near-dup pair almost always shares its
+    whole sign pattern, so single-bucket recall is high; lowering the
+    threshold calls for multi-probe banding like `lsh_topk`."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes)
+    cvec = F.col(vec_col).cast("array<double>")
+    b = corpus.select(
+        F.col(id_col).alias("_id"),
+        cvec.alias("_vec"),
+        lsh_bucket(cvec, planes).alias("bucket"),
+    )
+    bucket_w = Window.partitionBy("bucket")
+    capped = (
+        b.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    # capped feeds both sides of the self-join: persist so the
+    # 8-plane bucket projection doesn't run twice over the corpus.
+    from pyspark.storagelevel import StorageLevel
+
+    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    a, c = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,10 +182,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored.  Recall < 1 by design; multi-probe (flip one bit) would
-    raise it — kept single-probe for a clean oracle."""
+    """Approximate top-k: only corpus vectors in the query's LSH
+    bucket(s) are scored.  With `multi_probe` the query side also
+    probes every bucket at Hamming distance 1 (each sign bit flipped
+    once) — n_planes+1 buckets per query — which recovers most of the
+    recall single-probe loses for vectors that land just across one
+    hyperplane, while the corpus side stays a single bucketed pass.
+    The probe expansion happens on the (broadcast) query side only, so
+    the corpus shuffle volume is unchanged."""
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes)
@@ -138,11 +201,27 @@ def lsh_topk(
         cvec.alias("_cvec"),
         lsh_bucket(cvec, planes).alias("bucket"),
     )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        cvec.alias("_qvec"),
+        lsh_bucket(cvec, planes).alias("_b"),
+    )
+    if multi_probe:
+        def flip(i: int):
+            return F.concat(
+                F.substring("_b", 1, i),
+                F.when(
+                    F.substring("_b", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("_b", i + 2, n_planes),
+            )
+
+        probes = F.array(F.col("_b"), *[flip(i) for i in range(n_planes)])
+    else:
+        probes = F.array(F.col("_b"))
     q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            cvec.alias("_qvec"),
-            lsh_bucket(cvec, planes).alias("bucket"),
+        qb.select(
+            "query_id", "_qvec", F.explode(probes).alias("bucket")
         )
     )
     scored = c.join(q, on="bucket").select(

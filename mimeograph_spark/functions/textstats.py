@@ -106,6 +106,81 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def quality_percentiles_by_lang(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Grouped-aggregate UDAF surface (`applyInPandas`): per-language
+    document count, median/p90 quality, and mean token count.
+
+    The percentiles use explicit rank formulas over the sorted values
+    (median = mean of the two middle elements, p90 = element at index
+    floor(0.9*(n-1))) rather than library interpolation, so the DuckDB
+    oracle replays them bit-for-bit.  Arrow-batched grouped-map: each
+    language group arrives as one pandas frame — the custom-UDAF shape
+    Spark's built-ins can't express when the aggregate needs the whole
+    sorted group."""
+    import numpy as np
+    import pandas as pd
+
+    stats = with_textstats(df, text_col).select(
+        "lang_pred", "quality", "n_tokens"
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["quality"].to_numpy())
+        n = len(v)
+        med = (v[(n - 1) // 2] + v[n // 2]) / 2.0
+        p90 = v[(9 * (n - 1)) // 10]
+        return pd.DataFrame(
+            [
+                {
+                    "lang_pred": pdf["lang_pred"].iloc[0],
+                    "n_docs": n,
+                    "p50_quality": round(float(med), 6),
+                    "p90_quality": round(float(p90), 6),
+                    "avg_tokens": round(
+                        float(int(pdf["n_tokens"].sum()) / n), 6
+                    ),
+                }
+            ]
+        )
+
+    return stats.groupBy("lang_pred").applyInPandas(
+        agg,
+        "lang_pred string, n_docs long, p50_quality double, "
+        "p90_quality double, avg_tokens double",
+    )
+
+
+def token_chunks_udtf_df(df: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """UDTF surface (Python table function + LATERAL join): explode
+    each document into fixed-size token chunks — the context-window
+    chunking step of a training-data pipeline.
+
+    This exists to complete the UDF/UDAF/UDTF API triad — per-row
+    Python is the slow path, so production chunking belongs in a
+    built-in (`posexplode` over a sliced token array, which this
+    result is verified against by the DuckDB oracle) or an
+    Arrow-batched mapInPandas.  The UDTF form matters for API parity:
+    it is what a user of a row-generating extension would reach for."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk string")
+    class TokenChunks:
+        def eval(self, text):  # noqa: ANN001 - UDTF contract
+            toks = text.split() if text is not None else []
+            for i in range(0, len(toks), chunk_tokens):
+                yield i // chunk_tokens, " ".join(toks[i : i + chunk_tokens])
+
+    spark = df.sparkSession
+    spark.udtf.register("token_chunks", TokenChunks)
+    df.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_no, c.chunk "
+        "FROM _udtf_docs d, LATERAL token_chunks(d.text) c"
+    )
+
+
 def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -246,6 +246,52 @@ def distinct_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (TPC-H Q4 shape): count orders per priority that have
+    at least one returned lineitem — EXISTS as a left-semi join, so
+    the probe side never duplicates rows no matter how many lineitems
+    match."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customer_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (INTERSECT / EXCEPT): customers who ordered
+    in both 1996 and 1997 vs. only in 1996.  Spark plans both as
+    distinct-respecting joins (left-semi / left-anti after aggregation)
+    — no full materialization of either cohort."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def cohort(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") < F.lit(hi))
+        ).select("o_custkey")
+
+    c96 = cohort("1996-01-01", "1997-01-01")
+    c97 = cohort("1997-01-01", "1998-01-01")
+    both = c96.intersect(c97).select(
+        F.lit("both").alias("cohort"), "o_custkey"
+    )
+    only96 = c96.subtract(c97).select(
+        F.lit("only_1996").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(only96)
+
+
 def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts, status rows x priority columns (explicit
     pivot values so the plan stays single-pass, no value-discovery

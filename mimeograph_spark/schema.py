@@ -62,6 +62,7 @@ LINEAGE_SCHEMA = StructType(
         StructField("doc_count", LongType()),
         StructField("span_count", LongType()),
         StructField("error_count", LongType()),
+        StructField("failed_doc_count", LongType()),
         StructField("started", TimestampType()),
         StructField("ended", TimestampType()),
         StructField("status", StringType()),

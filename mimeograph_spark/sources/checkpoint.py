@@ -68,19 +68,46 @@ class CheckpointTable:
         return self._read_manifest()["snapshots"]
 
     def append(self, df: DataFrame, meta: dict | None = None) -> dict:
-        """Write df as a new snapshot; commit it to the manifest."""
-        snap_id = f"snap-{len(self.snapshots()):06d}-{uuid.uuid4().hex[:8]}"
+        """Write df as a new snapshot; commit it to the manifest.
+
+        Concurrency contract: the data write is safe for any number of
+        writers (snapshot dirs are uuid-unique), but the manifest
+        read-append-commit is serialized by an O_EXCL lock file —
+        without it, two concurrent appends (e.g. a stream plus a batch
+        backfill sharing a table) could each read the same manifest and
+        the second commit would silently drop the first's snapshot.  A
+        real Iceberg catalog provides this with optimistic commit
+        retries; the lock is the single-filesystem equivalent."""
+        snap_id = f"snap-{uuid.uuid4().hex[:12]}"
         data_dir = os.path.join(self.path, snap_id)
         df.write.mode("overwrite").parquet(data_dir)
-        manifest = self._read_manifest()
-        snap = {
-            "id": snap_id,
-            "dir": snap_id,
-            "committed_at": time.time(),
-            "meta": meta or {},
-        }
-        manifest["snapshots"].append(snap)
-        self._commit_manifest(manifest)
+        lock_path = os.path.join(self.path, ".manifest.lock")
+        deadline = time.time() + 60.0
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest lock {lock_path} held for >60s; a "
+                        "crashed writer may have leaked it — remove the "
+                        "lock file after confirming no writer is alive"
+                    )
+                time.sleep(0.05)
+        try:
+            manifest = self._read_manifest()
+            snap = {
+                "id": f"snap-{len(manifest['snapshots']):06d}-{snap_id[5:]}",
+                "dir": snap_id,
+                "committed_at": time.time(),
+                "meta": meta or {},
+            }
+            manifest["snapshots"].append(snap)
+            self._commit_manifest(manifest)
+        finally:
+            os.close(fd)
+            os.unlink(lock_path)
         return snap
 
     def read(self, spark: SparkSession) -> DataFrame | None:

@@ -384,7 +384,7 @@ FROM ranked WHERE rank <= {k}
 
 
 def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
-                     modulus: int = 100) -> str:
+                     modulus: int = 100, multi_probe: bool = True) -> str:
     from .functions.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes)
@@ -394,18 +394,31 @@ def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for plane in planes
     )
+    probe_selects = ["SELECT query_id, qvec, bucket FROM q"]
+    if multi_probe:
+        for i in range(1, n_planes + 1):
+            flipped = (
+                f"substr(bucket, 1, {i - 1}) || "
+                f"(CASE WHEN substr(bucket, {i}, 1) = '1' "
+                f"THEN '0' ELSE '1' END) || substr(bucket, {i + 1})"
+            )
+            probe_selects.append(
+                f"SELECT query_id, qvec, {flipped} AS bucket FROM q"
+            )
     return f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec, {bits} AS bucket FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, vec AS qvec, bucket FROM b
   WHERE vec_id % {modulus} = 0
+), probes AS (
+  {" UNION ALL ".join(probe_selects)}
 ), scored AS (
-  SELECT q.query_id, b.vec_id,
-         round(list_dot_product(b.vec, q.qvec)
+  SELECT p.query_id, b.vec_id,
+         round(list_dot_product(b.vec, p.qvec)
                / (sqrt(list_dot_product(b.vec, b.vec))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine
-  FROM b JOIN q ON b.bucket = q.bucket
+                  * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS cosine
+  FROM b JOIN probes p ON b.bucket = p.bucket
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
@@ -413,6 +426,119 @@ WITH b AS (
 )
 SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def quality_percentiles_sql() -> str:
+    """Oracle for the applyInPandas UDAF: per-language quality
+    percentiles via the same explicit rank formulas (sorted-list
+    indexing, 1-based in DuckDB)."""
+    return f"""
+WITH ts AS ({textstats_sql()}),
+g AS (
+  SELECT lang_pred, list_sort(list(quality)) AS q, count(*) AS n,
+         sum(n_tokens) AS tok
+  FROM ts GROUP BY lang_pred
+)
+SELECT lang_pred,
+       CAST(n AS BIGINT) AS n_docs,
+       round((q[(n - 1) // 2 + 1] + q[n // 2 + 1]) / 2.0, 6) AS p50_quality,
+       round(q[(9 * (n - 1)) // 10 + 1], 6) AS p90_quality,
+       round(CAST(tok AS DOUBLE) / n, 6) AS avg_tokens
+FROM g
+"""
+
+
+def udtf_token_chunks_sql(chunk_tokens: int = 10) -> str:
+    """Mirrors textstats.token_chunks_udtf_df: whitespace tokens in
+    fixed-size chunks (1-based inclusive list slicing in DuckDB)."""
+    n = chunk_tokens
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS p
+  FROM documents WHERE length(trim(text)) > 0
+), numbered AS (
+  SELECT doc_id, p,
+         CAST(unnest(generate_series(0,
+           CAST(ceil(len(p) / {n}.0) AS INT) - 1)) AS INT) AS chunk_no
+  FROM toks
+)
+SELECT doc_id, chunk_no,
+       array_to_string(p[chunk_no * {n} + 1 : chunk_no * {n} + {n}], ' ')
+         AS chunk
+FROM numbered
+"""
+
+SEMI_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def embedding_near_dups_sql(
+    dim: int = 64,
+    n_planes: int = 8,
+    threshold: float = 0.99,
+    max_bucket: int = 1024,
+    shift: int = 1000000,
+) -> str:
+    """Mirrors similarity.embedding_near_dups over embeddings UNION an
+    id-shifted exact copy (guaranteed cosine-1.0 pairs)."""
+    from .functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(vec, ["
+        + ", ".join(repr(c) for c in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH both_copies AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + {shift} AS vec_id, embedding::DOUBLE[] AS vec
+  FROM embeddings
+), b AS (
+  SELECT vec_id, vec, {bits} AS bucket FROM both_copies
+), capped AS (
+  SELECT * FROM b
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {max_bucket}
+), pairs AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_dot_product(a.vec, c.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cosine
+  FROM capped a JOIN capped c
+    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+SET_OPS_ORACLE = """
+WITH c96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), c97 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT 'both' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+UNION ALL
+SELECT 'only_1996' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)
 """
 
 

@@ -1,0 +1,68 @@
+"""Event-time streaming aggregation with watermark-based late-data
+handling — the streaming twin of plans.relational.events_tumbling_window.
+
+The batch pipeline treats event time as just another column; a
+continuous ingest can't, because state for open windows must be
+bounded.  The watermark contract (Structured Streaming semantics):
+
+- watermark = max(event time seen in prior micro-batches) - delay;
+- in append mode a window row is emitted exactly once, when the
+  watermark passes the window end (the window is finalized);
+- input rows older than the watermark are dropped — they can never
+  reopen a finalized window, so state size stays bounded no matter how
+  disordered the stream is.
+
+The sink is a parquet file sink (exactly-once via the sink's
+_spark_metadata transaction log + the source checkpoint), so a
+downstream batch reader sees each finalized window exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+# Minimal event shape for the demo stream (mirrors the events table).
+EVENT_STREAM_SCHEMA = (
+    "event_id long, event_type string, ts timestamp, value double"
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Tumbling-window event counts over a file stream, append mode.
+
+    Each call processes everything currently in `input_dir`
+    (availableNow) and stops; the watermark survives restarts via
+    `checkpoint_dir`, so a later call drops events that arrive behind
+    the watermark established by earlier calls."""
+    ev = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(input_dir)
+    agg = (
+        ev.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -40,6 +40,25 @@ def test_q5_broadcasts_only_fixed_dimensions(spark):
         )
 
 
+def test_extract_is_single_scan(spark):
+    """Both extract branches (main + mega-doc) must consume the cached
+    classified frame — one materialization of the input — instead of
+    each branch re-scanning and re-classifying the full corpus."""
+    from mimeograph_spark.corpus import derive_documents
+    from mimeograph_spark.plans.pipeline import extract_flat
+
+    docs = derive_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    plan = (
+        extract_flat(docs, single_scan=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
 def test_topk_uses_window_group_limit(spark):
     """Top-k window rank must run as a partial per-partition top-k
     (WindowGroupLimit) before the shuffle, not a full sort."""

@@ -86,3 +86,47 @@ def test_lineage_accounts_for_all_docs(spark, tmp_path, corpus):
     assert agg["errs"] == sum(len(e["error_pages"]) for e in expected.values())
     cols = set(lin.columns)
     assert {"run_id", "stage", "partition_id", "started", "ended", "status"} <= cols
+
+
+def test_lineage_conforms_to_declared_schema(spark, tmp_path, corpus):
+    """LINEAGE_SCHEMA is the declared contract for lineage sinks — the
+    produced frame must match it name-for-name, type-for-type."""
+    from datetime import datetime, timezone
+
+    from mimeograph_spark.schema import LINEAGE_SCHEMA
+    from mimeograph_spark.sources.lineage import lineage_rows
+
+    _, docs = corpus
+    lin = lineage_rows(
+        _pipeline(docs), "run-x", "extract",
+        datetime.now(timezone.utc),
+    )
+    got = [(f.name, f.dataType.simpleString()) for f in lin.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in LINEAGE_SCHEMA.fields]
+    assert got == want
+
+
+def test_concurrent_appends_keep_all_snapshots(spark, tmp_path, corpus):
+    """Two writers appending to one table must not lose either commit
+    (the manifest read-modify-write is serialized by the lock file)."""
+    import threading
+
+    _, docs = corpus
+    ckpt = CheckpointTable(str(tmp_path / "conc"))
+    frames = [docs.limit(3).select("doc_id"), docs.limit(5).select("doc_id")]
+    errs = []
+
+    def writer(df):
+        try:
+            ckpt.append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(f,)) for f in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(ckpt.snapshots()) == 2
+    assert ckpt.read(spark).count() == 8

@@ -45,3 +45,65 @@ def test_stream_matches_batch_oracle(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert ckpt.read(spark).count() == len(rows)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a 10-min watermark: a row
+    arriving behind the watermark must be dropped — never emitted, and
+    never able to re-open (duplicate) an already-finalized window."""
+    from datetime import datetime
+
+    from mimeograph_spark.streaming.event_time import (
+        EVENT_STREAM_SCHEMA,
+        windowed_event_counts,
+    )
+
+    input_dir = str(tmp_path / "ev_in")
+    output_dir = str(tmp_path / "ev_out")
+    ckpt_dir = str(tmp_path / "ev_ckpt")
+
+    def arrive(*events):
+        rows = [
+            (i, "x", datetime(2024, 1, 1, h, m), 1.0)
+            for i, (h, m) in enumerate(events)
+        ]
+        spark.createDataFrame(rows, EVENT_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def run():
+        q = windowed_event_counts(spark, input_dir, output_dir, ckpt_dir)
+        q.awaitTermination(120)
+
+    def emitted():
+        return {
+            (r["window_start"].strftime("%H:%M"), r["n_events"])
+            for r in spark.read.parquet(output_dir).collect()
+        }
+
+    # Run 1: three on-time events in [10:00,10:10) plus an 11:00 event
+    # that will push the watermark to 10:50.  Single micro-batch ->
+    # nothing finalized yet (watermark lags one batch).
+    arrive((10, 0), (10, 3), (10, 5), (11, 0))
+    run()
+
+    # Run 2: one more event; the batch runs with watermark 10:50, so
+    # the 10:00 window is finalized and emitted exactly once.
+    arrive((11, 5))
+    run()
+    assert ("10:00", 3) in emitted()
+
+    # Run 3: a LATE event at 10:02 — behind the watermark (10:55) —
+    # together with a 12:00 event that advances the watermark further.
+    arrive((10, 2), (12, 0))
+    run()
+
+    # Run 4: advance once more so the 11:00 window finalizes.  The late
+    # 10:02 row must have been dropped: the 10:00 window keeps count 3
+    # and is NOT re-emitted as a duplicate/phantom row.
+    arrive((12, 30))
+    run()
+    got = emitted()
+    assert ("11:00", 2) in got
+    windows_1000 = [g for g in got if g[0] == "10:00"]
+    assert windows_1000 == [("10:00", 3)]
