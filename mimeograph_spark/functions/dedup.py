@@ -153,6 +153,12 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("_id"),
         fingerprint(F.col(text_col)).alias("_fp"),
     )
+    if persist_reps:
+        from pyspark.storagelevel import StorageLevel
+
+        # fp feeds the group agg AND the member join: one narrow
+        # (id, 32-char hash) cache saves a full re-scan + re-hash.
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     groups = fp.groupBy("_fp").agg(F.min("_id").alias("_canon"))
     member_pairs = (
         fp.join(groups, on="_fp")
