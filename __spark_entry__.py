@@ -32,9 +32,9 @@ from mimeograph_spark.corpus import derive_documents
 from mimeograph_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
-    simhash64,
     simhash_near_dups,
     with_minhash,
+    with_simhash,
 )
 from mimeograph_spark.functions.multimodal import (
     decode_metadata,
@@ -171,7 +171,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return with_simhash(docs, "text").select("doc_id", "simhash")
 
 
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

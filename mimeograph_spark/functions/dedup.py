@@ -263,12 +263,13 @@ def exact_duplicates(
     )
 
 
-def simhash64(text: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens: per-bit vote of md5-derived
-    token hashes, packed into a long.  Pure built-ins (aggregate over
-    the token array per bit)."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    th = F.transform(toks, lambda t: shingle_hash(t))
+def simhash_from_hashes(th: Column, bits: int = 32) -> Column:
+    """Packed SimHash from an already-hashed token array: one per-bit
+    vote aggregate over `th` per bit.  `th` should be a REAL staged
+    column (see with_simhash) — each of the `bits` aggregates
+    references it, and if it is an inline expression Catalyst's
+    projection collapse duplicates the tokenize+md5 work `bits` times
+    (measured 10x slowdown at bits=32)."""
     def vote_step(mask: int):
         return lambda acc, h: acc + F.when(
             h.bitwiseAND(F.lit(mask)) != 0, 1
@@ -284,6 +285,34 @@ def simhash64(text: Column, bits: int = 32) -> Column:
             )
         )
     return packed
+
+
+def token_hashes(text: Column) -> Column:
+    """md5-derived uint32 hash per whitespace token of normalized text."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    return F.transform(toks, lambda t: shingle_hash(t))
+
+
+def simhash64(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens, as a single Column expression.
+
+    NOTE: inlines the tokenize+md5 transform into every per-bit vote —
+    use only for one-off expressions.  Query paths should stage the
+    hashed token array once via `with_simhash` (bits x less md5 work)."""
+    return simhash_from_hashes(token_hashes(text), bits)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 32,
+    out: str = "simhash",
+) -> DataFrame:
+    """Project the hashed token array as a real column, then pack the
+    signature — keeps the tokenize+md5 work at one evaluation per row
+    (same staging discipline as with_shingle_hashes)."""
+    staged = df.withColumn("_th", token_hashes(F.col(text_col)))
+    return staged.withColumn(
+        out, simhash_from_hashes(F.col("_th"), bits)
+    ).drop("_th")
 
 
 def simhash_near_dups(
@@ -319,9 +348,10 @@ def simhash_near_dups(
     )
     bw = bits // n_blocks
     mask = (1 << bw) - 1
-    sh = df.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col), bits).alias("_sh")
-    )
+    sh = with_simhash(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")),
+        "_text", bits, out="_sh",
+    ).select("_id", "_sh")
     blocked = sh.select(
         "_id",
         "_sh",

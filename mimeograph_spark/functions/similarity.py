@@ -56,19 +56,26 @@ def brute_force_topk(
 
     # float32 -> double BEFORE any arithmetic: keeps products and the
     # sequential accumulation bit-identical to the DuckDB oracle.
+    # Norms are STAGED per row on each side — computed inline in the
+    # cosine they would re-run per (corpus x query) pair, tripling the
+    # per-pair aggregate work.
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("_qvec"),
-        )
+        ).withColumn("_qn", l2_norm(F.col("_qvec")))
     )
     scored = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
-    ).crossJoin(q).select(
+    ).withColumn("_cn", l2_norm(F.col("_cvec"))).crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_cvec"), F.col("_qvec"))
+            / (F.col("_cn") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -143,7 +150,7 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"),
         cvec.alias("_vec"),
         lsh_bucket(cvec, planes).alias("bucket"),
-    )
+    ).withColumn("_n", l2_norm(F.col("_vec")))
     bucket_w = Window.partitionBy("bucket")
     capped = (
         b.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
@@ -165,9 +172,11 @@ def embedding_near_dups(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot(F.col("a._vec"), F.col("b._vec"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -200,12 +209,12 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         cvec.alias("_cvec"),
         lsh_bucket(cvec, planes).alias("bucket"),
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cvec")))
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
         cvec.alias("_qvec"),
         lsh_bucket(cvec, planes).alias("_b"),
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
     if multi_probe:
         def flip(i: int):
             return F.concat(
@@ -221,13 +230,17 @@ def lsh_topk(
         probes = F.array(F.col("_b"))
     q = F.broadcast(
         qb.select(
-            "query_id", "_qvec", F.explode(probes).alias("bucket")
+            "query_id", "_qvec", "_qn", F.explode(probes).alias("bucket")
         )
     )
     scored = c.join(q, on="bucket").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("_cvec"), F.col("_qvec"))
+            / (F.col("_cn") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
