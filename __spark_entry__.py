@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_suppliers": relational.q5_local_suppliers,
         "window_topn": relational.window_top_orders_per_customer,
         "rollup_status_month": relational.rollup_orders_by_status_month,
+        "cube_status_priority": relational.cube_status_priority,
         "anti_join_customers": relational.customers_without_orders,
         "string_funcs": relational.part_string_funcs,
         "events_tumbling": relational.events_tumbling_window,

@@ -159,6 +159,26 @@ def rollup_orders_by_status_month(
     )
 
 
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (full grouping-sets lattice): order counts over every
+    combination of (status, priority) including both marginals and the
+    grand total — completes the grouping family next to rollup (one
+    hierarchy) and pivot (columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.grouping_id().cast("long").alias("grouping_level"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n_orders", "avg_price",
+            "grouping_level",
+        )
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (set difference): customers with no orders."""
     cust = _t(spark, sf_dir, "customer")

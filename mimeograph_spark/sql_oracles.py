@@ -663,6 +663,14 @@ FROM (
   GROUP BY ROLLUP (o_orderstatus, strftime(o_orderdate, '%Y-%m'))
 )
 """,
+    "cube_status_priority": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+         AS grouping_level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
     "anti_join_customers": """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer
