@@ -38,7 +38,9 @@ from mimeograph_spark.functions.dedup import (
 )
 from mimeograph_spark.functions.multimodal import (
     decode_metadata,
+    extract_features,
     frame_sample,
+    resize_media,
     with_media_blob,
 )
 from mimeograph_spark.functions.similarity import (
@@ -230,6 +232,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stage over binary payloads (mapInPandas)."""
+    return extract_features(with_media_blob(_media_refs(spark, sf_dir))).select(
+        "media_ref", "mean_byte", "max_byte", "frac_high", "n_bytes"
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads (mapInPandas)."""
+    return resize_media(with_media_blob(_media_refs(spark, sf_dir))).select(
+        "media_ref", "new_width", "new_height", "thumb_sig"
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling stage (rows-only driver check)."""
     refs = (
@@ -290,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semi_join_q4": relational.semi_join_order_priority,
         "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
     }
 
@@ -323,6 +349,8 @@ def oracle_sql() -> dict[str, str]:
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).
         "multimodal_meta": sql_oracles.multimodal_meta_sql(),
+        "media_features": sql_oracles.media_features_sql(),
+        "media_resize": sql_oracles.media_resize_sql(),
         "frame_sample": sql_oracles.frame_sample_sql(every_n=4),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

@@ -119,6 +119,104 @@ def decode_metadata(
     return df.mapInPandas(run, out_schema)
 
 
+FEATURE_SCHEMA = (
+    "mean_byte double, max_byte int, frac_high double, n_bytes long"
+)
+
+
+def extract_features(
+    df: DataFrame, blob_col: str = "media_blob"
+) -> DataFrame:
+    """Feature-extract stage: byte-level statistics of the payload as
+    a typed feature row per blob — the shape of a real embedding /
+    perceptual-hash stage (batched bytes in, fixed-width numerics out).
+
+    Arrow-batched mapInPandas doing genuine per-byte work in Python;
+    every statistic is also closed-form over the md5 hex stream, so
+    the DuckDB oracle replays it exactly (media_features_sql)."""
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
+        + ", " + FEATURE_SCHEMA
+    )
+    idx = [f.name for f in in_schema].index(blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf.iloc[:, idx]:
+                payload = bytes(blob)[9:] if blob is not None else b""
+                n = len(payload)
+                if n == 0:
+                    feats.append(
+                        {"mean_byte": 0.0, "max_byte": 0,
+                         "frac_high": 0.0, "n_bytes": 0}
+                    )
+                    continue
+                # n is a power of two for the synthetic payloads, so
+                # these ratios are exact doubles — no rounding, which
+                # would hit banker's-vs-half-up tie differences vs SQL.
+                feats.append(
+                    {
+                        "mean_byte": sum(payload) / n,
+                        "max_byte": max(payload),
+                        "frac_high": sum(1 for b in payload if b > 127) / n,
+                        "n_bytes": n,
+                    }
+                )
+            yield pd.concat(
+                [pdf, pd.DataFrame(feats, index=pdf.index)], axis=1
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_media(
+    df: DataFrame, factor: int = 2, blob_col: str = "media_blob",
+    thumb_bytes: int = 64,
+) -> DataFrame:
+    """Resize stage: emit the downscaled dimensions plus a signature
+    of the leading payload slice (the deterministic stand-in for the
+    resampled pixel buffer a real resizer would produce).
+
+    Same mapInPandas batch shape a PIL/ffmpeg-backed resizer would
+    use; only the inner byte transform is the synthetic stand-in."""
+    in_schema = df.schema
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
+        + ", new_width int, new_height int, thumb_sig string"
+    )
+    idx = [f.name for f in in_schema].index(blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf.iloc[:, idx]:
+                raw = bytes(blob) if blob is not None else b""
+                if len(raw) < 9 or raw[:4] != MAGIC:
+                    rows.append(
+                        {"new_width": None, "new_height": None,
+                         "thumb_sig": None}
+                    )
+                    continue
+                width, height, _mod = struct.unpack(">HHB", raw[4:9])
+                thumb = raw[9 : 9 + thumb_bytes]
+                rows.append(
+                    {
+                        "new_width": max(width // factor, 1),
+                        "new_height": max(height // factor, 1),
+                        "thumb_sig": hashlib.md5(
+                            thumb.hex().encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.concat(
+                [pdf, pd.DataFrame(rows, index=pdf.index)], axis=1
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 4,

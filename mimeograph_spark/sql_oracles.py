@@ -593,6 +593,50 @@ FROM refs, generate_series(0, {n_frames - 1}, {every_n}) AS t(k)
 """
 
 
+def media_features_sql(payload_len: int = 256) -> str:
+    """Oracle for extract_features: payload byte j = hex pair j%16 of
+    md5(ref || ':' || j//16), so every byte statistic is closed-form."""
+    return f"""
+WITH refs AS (
+  SELECT 'm:' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+), bytes AS (
+  SELECT media_ref,
+         ('0x' || substr(md5(media_ref || ':' || CAST(k // 16 AS VARCHAR)),
+                         (k % 16) * 2 + 1, 2))::INT AS b
+  FROM refs, generate_series(0, {payload_len - 1}) AS t(k)
+)
+SELECT media_ref,
+       avg(b) AS mean_byte,
+       CAST(max(b) AS INT) AS max_byte,
+       sum(CASE WHEN b > 127 THEN 1 ELSE 0 END) / {payload_len}.0
+         AS frac_high,
+       CAST({payload_len} AS BIGINT) AS n_bytes
+FROM bytes GROUP BY media_ref
+"""
+
+
+def media_resize_sql(factor: int = 2, thumb_bytes: int = 64) -> str:
+    """Oracle for resize_media: dimensions from the md5(ref) header
+    bytes; thumb_sig = md5 of the concatenated hex of the first
+    thumb_bytes/16 payload blocks."""
+    n_blocks = thumb_bytes // 16
+    thumb_hex = " || ".join(
+        f"md5(media_ref || ':{i}')" for i in range(n_blocks)
+    )
+    return f"""
+WITH refs AS (
+  SELECT 'm:' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents
+)
+SELECT media_ref,
+       CAST((16 + ('0x' || substr(md5(media_ref), 1, 2))::INT % 240)
+            // {factor} AS INT) AS new_width,
+       CAST((16 + ('0x' || substr(md5(media_ref), 3, 2))::INT % 240)
+            // {factor} AS INT) AS new_height,
+       md5({thumb_hex}) AS thumb_sig
+FROM refs
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator oracles (plans/relational.py)
 # ---------------------------------------------------------------------------
