@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "semi_join_q4": relational.semi_join_order_priority,
+        "outer_join_nations": relational.outer_join_nation_activity,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,
+        "outer_join_nations": sql_oracles.OUTER_JOIN_ORACLE,
         # multimodal: payload is a counter-block md5 stream, so both
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).

@@ -266,6 +266,37 @@ def distinct_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outer_join_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-preserving aggregation: every nation
+    with its customer count and order revenue — nations with no
+    customers keep a row (zero counts), which an inner join would
+    drop.  The nation side is the broadcast dimension."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    )
+    # No broadcast hint: nation is the PRESERVED side of the left join
+    # (Spark cannot broadcast the outer side); it is tiny, so AQE picks
+    # the right strategy on its own.
+    return (
+        nation.join(
+            cust_orders,
+            nation.n_nationkey == cust_orders.c_nationkey,
+            "left",
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def semi_join_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (TPC-H Q4 shape): count orders per priority that have
     at least one returned lineitem — EXISTS as a left-semi join, so

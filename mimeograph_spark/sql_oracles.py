@@ -469,6 +469,17 @@ SELECT doc_id, chunk_no,
 FROM numbered
 """
 
+OUTER_JOIN_ORACLE = """
+SELECT n_nationkey, n_name,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 4) AS revenue
+FROM nation
+LEFT JOIN customer ON n_nationkey = c_nationkey
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY n_nationkey, n_name
+"""
+
 SEMI_JOIN_ORACLE = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

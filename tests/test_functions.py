@@ -219,3 +219,15 @@ def test_frame_sig_matches_python(spark):
     for k in (0, 4, 8, 12):
         inner = hashlib.md5(f"v:9:{k}".encode()).hexdigest()
         assert got[k] == hashlib.md5(inner.encode()).hexdigest()
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The documented 100 TB swap-in for exact COUNT(DISTINCT): HLL++
+    must land within its configured relative error on the events data.
+    (Not a driver query: HLL sketches aren't replayable in DuckDB.)"""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
