@@ -59,6 +59,39 @@ def test_extract_is_single_scan(spark):
     assert plan.count("InMemoryTableScan") == 2, plan
 
 
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both join sides written bucketed by the join key (same bucket
+    count) must sort-merge join with ZERO Exchange — the shuffle is
+    paid once at write time and amortized over every later join."""
+    from mimeograph_spark.sources.bucketed import read_table, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed(orders, "bkt.orders_b", "o_custkey", n_buckets=8)
+    write_bucketed(cust, "bkt.cust_b", "c_custkey", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        # force a non-broadcast join so the exchange-free property is
+        # visible (broadcast would trivially avoid the shuffle too)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = read_table(spark, "bkt.orders_b")
+        b = read_table(spark, "bkt.cust_b")
+        joined = a.join(b, a.o_custkey == b.c_custkey).groupBy(
+            "c_nationkey"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # anything below the join (its inputs) must read the bucketed
+        # layout directly — no Exchange; the groupBy above it may shuffle
+        join_subtree = plan.split("SortMergeJoin", 1)[-1]
+        assert "Exchange" not in join_subtree, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.cust_b")
+
+
 def test_topk_uses_window_group_limit(spark):
     """Top-k window rank must run as a partial per-partition top-k
     (WindowGroupLimit) before the shuffle, not a full sort."""
