@@ -9,6 +9,8 @@ corpus).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from mimeograph_spark.plans import relational
 
 SF = "/root/testdata/sf0.001"
@@ -90,6 +92,50 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bkt.cust_b")
+
+
+def test_filter_pushes_down_to_parquet_scan(spark):
+    """q1's date filter must reach the parquet scan (PushedFilters),
+    not run as a post-scan Filter over full row groups."""
+    from mimeograph_spark.plans import relational
+
+    df = relational.q1_pricing_summary(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
+
+
+def test_projection_prunes_scan_columns(spark):
+    """string_funcs touches 4 part columns; the scan's ReadSchema must
+    not include the untouched ones (p_retailprice etc.)."""
+    from mimeograph_spark.plans import relational
+
+    df = relational.part_string_funcs(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "p_name" in schema and "p_brand" in schema, plan
+    assert "p_retailprice" not in schema, plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """Results written partitionBy(status) and read back with a status
+    filter must prune at the directory level (PartitionFilters), never
+    scanning the complete-status files."""
+    from mimeograph_spark.corpus import derive_documents
+    from mimeograph_spark.plans.pipeline import extract_flat
+
+    out = str(tmp_path / "by_status")
+    docs = derive_documents(spark.read.parquet(f"{SF}/documents.parquet"))
+    extract_flat(docs).write.partitionBy("status").mode("overwrite").parquet(out)
+    failed = spark.read.parquet(out).filter(F.col("status") == "failed")
+    plan = failed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "status" in pf, plan
+    # and the pruning is real: only failed rows come back
+    statuses = {r["status"] for r in failed.select("status").distinct().collect()}
+    assert statuses <= {"failed"}
 
 
 def test_topk_uses_window_group_limit(spark):
