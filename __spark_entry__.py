@@ -53,6 +53,7 @@ from mimeograph_spark.functions.textstats import (
     token_chunks_udtf_df,
     with_textstats,
 )
+from mimeograph_spark.operators.asof import asof_join
 from mimeograph_spark.operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
@@ -135,6 +136,23 @@ def q_ocr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Training-data family
 # ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event matched to
+    the same user's most recent at-or-before view event; verified
+    against DuckDB's NATIVE ASOF JOIN."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, views, time_col="ts", by=["user_id"],
+        value_cols=["event_id", "ts"],
+    )
+
 
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = with_textstats(_read(spark, sf_dir, "documents"))
@@ -314,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semi_join_q4": relational.semi_join_order_priority,
         "outer_join_nations": relational.outer_join_nation_activity,
+        "asof_join_events": q_asof_join,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -347,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,
         "outer_join_nations": sql_oracles.OUTER_JOIN_ORACLE,
+        "asof_join_events": sql_oracles.ASOF_JOIN_ORACLE,
         # multimodal: payload is a counter-block md5 stream, so both
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).

@@ -469,6 +469,21 @@ SELECT doc_id, chunk_no,
 FROM numbered
 """
 
+# DuckDB has a NATIVE ASOF JOIN — the perfect independent oracle for
+# the composed Spark implementation in operators/asof.py.
+ASOF_JOIN_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       v.event_id AS asof_event_id, v.ts AS asof_ts
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
 OUTER_JOIN_ORACLE = """
 SELECT n_nationkey, n_name,
        count(DISTINCT c_custkey) AS n_customers,

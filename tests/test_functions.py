@@ -231,3 +231,31 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
+
+
+def test_asof_join_edge_semantics(spark):
+    """Equal timestamps match (<=), earlier-only semantics otherwise,
+    and a left row with no at-or-before right row gets NULLs."""
+    from datetime import datetime
+
+    from mimeograph_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 10, 0)),   # equal-time match -> r2
+         (2, 100, datetime(2024, 1, 1, 9, 30)),   # between r1 and r2 -> r1
+         (3, 100, datetime(2024, 1, 1, 8, 0)),    # before all -> NULL
+         (4, 200, datetime(2024, 1, 1, 12, 0))],  # group with no rights
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(11, 100, datetime(2024, 1, 1, 9, 0)),
+         (12, 100, datetime(2024, 1, 1, 10, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(
+            L, R, time_col="ts", by=["user_id"], value_cols=["event_id"]
+        ).collect()
+    }
+    assert got == {1: 12, 2: 11, 3: None, 4: None}
