@@ -54,6 +54,7 @@ from mimeograph_spark.functions.textstats import (
     with_textstats,
 )
 from mimeograph_spark.operators.asof import asof_join
+from mimeograph_spark.operators.rangejoin import binned_range_join
 from mimeograph_spark.operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
@@ -151,6 +152,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, time_col="ts", by=["user_id"],
         value_cols=["event_id", "ts"],
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/rangejoin.py): orders matched to
+    overlapping price bands by containment — an equi-join on bins, not
+    a nested loop.  Bands are generated deterministically so the
+    oracle rebuilds them with generate_series."""
+    bands = spark.range(0, 50).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10000.0).alias("lo"),
+        (F.col("id") * 10000.0 + 15000.0).alias("hi"),
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = binned_range_join(
+        orders, bands, "o_totalprice", "lo", "hi", bin_width=10000.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
 
 
@@ -333,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_q4": relational.semi_join_order_priority,
         "outer_join_nations": relational.outer_join_nation_activity,
         "asof_join_events": q_asof_join,
+        "range_join_price_bands": q_range_join,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -367,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,
         "outer_join_nations": sql_oracles.OUTER_JOIN_ORACLE,
         "asof_join_events": sql_oracles.ASOF_JOIN_ORACLE,
+        "range_join_price_bands": sql_oracles.RANGE_JOIN_ORACLE,
         # multimodal: payload is a counter-block md5 stream, so both
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).

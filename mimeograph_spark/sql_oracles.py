@@ -484,6 +484,17 @@ FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+RANGE_JOIN_ORACLE = """
+WITH bands AS (
+  SELECT k AS band_id, k * 10000.0 AS lo, k * 10000.0 + 15000.0 AS hi
+  FROM generate_series(0, 49) t(k)
+)
+SELECT band_id, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM bands JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
 OUTER_JOIN_ORACLE = """
 SELECT n_nationkey, n_name,
        count(DISTINCT c_custkey) AS n_customers,

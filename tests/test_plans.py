@@ -144,3 +144,17 @@ def test_topk_uses_window_group_limit(spark):
     df = relational.window_top_orders_per_customer(spark, SF)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in physical, physical
+
+
+def test_binned_range_join_is_hash_join(spark):
+    """The range join must plan as an equi hash join on the bin key —
+    never a BroadcastNestedLoopJoin / CartesianProduct."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["range_join_price_bands"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
