@@ -54,6 +54,7 @@ from mimeograph_spark.functions.textstats import (
     with_textstats,
 )
 from mimeograph_spark.operators.asof import asof_join
+from mimeograph_spark.operators.hypertable import hypertable_rollup
 from mimeograph_spark.operators.rangejoin import binned_range_join
 from mimeograph_spark.operators.classify import (
     HAS_NATIVE,
@@ -173,6 +174,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (operators/hypertable.py):
+    10min/1h/1d event rollups where each coarser level re-aggregates
+    the finer level's partials — raw data read once."""
+    return hypertable_rollup(_read(spark, sf_dir, "events"))
 
 
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_nations": relational.outer_join_nation_activity,
         "asof_join_events": q_asof_join,
         "range_join_price_bands": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -390,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "outer_join_nations": sql_oracles.OUTER_JOIN_ORACLE,
         "asof_join_events": sql_oracles.ASOF_JOIN_ORACLE,
         "range_join_price_bands": sql_oracles.RANGE_JOIN_ORACLE,
+        "hypertable_rollup": sql_oracles.hypertable_rollup_sql(),
         # multimodal: payload is a counter-block md5 stream, so both
         # the decoded metadata and the per-frame signatures are
         # closed-form over string md5 (multimodal.py docstring).

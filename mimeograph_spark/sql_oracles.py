@@ -484,6 +484,24 @@ FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+def hypertable_rollup_sql() -> str:
+    """Oracle for the multi-resolution rollup: each resolution computed
+    directly from raw events (semantically identical to the Spark
+    plan's level-from-level composition — counts/sums compose exactly,
+    and the one shared rounding happens at the end on both sides)."""
+    levels = []
+    for label, secs in (("10 minutes", 600), ("1 hour", 3600), ("1 day", 86400)):
+        levels.append(f"""
+SELECT '{label}' AS resolution,
+       make_timestamp(CAST(floor(epoch(ts) / {secs}) * {secs} * 1000000 AS BIGINT))
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 2, 3""")
+    return " UNION ALL ".join(levels)
+
+
 RANGE_JOIN_ORACLE = """
 WITH bands AS (
   SELECT k AS band_id, k * 10000.0 AS lo, k * 10000.0 + 15000.0 AS hi
