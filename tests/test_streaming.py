@@ -107,3 +107,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert ("11:00", 2) in got
     windows_1000 = [g for g in got if g[0] == "10:00"]
     assert windows_1000 == [("10:00", 3)]
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state in the checkpoint:
+    a second availableNow run must CONTINUE the totals, not reset."""
+    from mimeograph_spark.streaming.stateful import running_user_totals
+
+    input_dir = str(tmp_path / "st_in")
+    output_dir = str(tmp_path / "st_out")
+    ckpt_dir = str(tmp_path / "st_ckpt")
+
+    def arrive(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        q = running_user_totals(spark, input_dir, output_dir, ckpt_dir)
+        q.awaitTermination(120)
+
+    arrive([(1, 7, 1.0), (2, 7, 2.0), (3, 9, 5.0)])
+    run()
+    arrive([(4, 7, 10.0)])
+    run()
+
+    rows = spark.read.parquet(output_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 7: batch1 (2 events, 3.0) then batch2 continuing to 3 / 13.0
+    u7 = sorted(by_user[7], key=lambda r: r["total_events"])
+    assert [(r["batch_events"], r["total_events"], r["total_value"])
+            for r in u7] == [(2, 2, 3.0), (1, 3, 13.0)]
+    # user 9 only appeared in batch 1
+    assert [(r["batch_events"], r["total_events"], r["total_value"])
+            for r in by_user[9]] == [(1, 1, 5.0)]
