@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_suppliers": relational.q5_local_suppliers,
         "window_topn": relational.window_top_orders_per_customer,
+        "window_analytics": relational.window_analytics,
         "rollup_status_month": relational.rollup_orders_by_status_month,
         "cube_status_priority": relational.cube_status_priority,
         "anti_join_customers": relational.customers_without_orders,

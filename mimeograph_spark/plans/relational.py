@@ -136,6 +136,25 @@ def window_top_orders_per_customer(
     )
 
 
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth: lag/lead, ntile, percent_rank, and
+    date arithmetic against the previous order — one pass, one window
+    sort per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.datediff(F.col("o_orderdate"), prev_date).alias("days_since_prev"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+
+
 def rollup_orders_by_status_month(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -750,6 +750,18 @@ FROM (
   FROM orders
 ) WHERE rank <= 3
 """,
+    "window_analytics": """
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS INT)
+         AS days_since_prev,
+       CAST(month(o_orderdate) AS INT) AS order_month
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
     "rollup_status_month": """
 SELECT o_orderstatus, month, n_orders, total_price, grouping_level
 FROM (
