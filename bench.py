@@ -157,6 +157,7 @@ HEADLINE_QUERIES = (
     "window_topn", "events_sessionize",
     "textstats", "lsh_near_dup_pairs", "simhash_near_dups",
     "udaf_quality_percentiles", "ann_cosine_topk",
+    "asof_join_events", "range_join_price_bands", "hypertable_rollup",
 )
 
 
