@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import register_persisted
 from .textstats import fingerprint
 
 # MinHash parameters: k permutations as (a, b) pairs over a Mersenne
@@ -235,7 +236,10 @@ def lsh_candidate_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     scored = rerank.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-    return member_pairs.unionByName(scored)
+    out = member_pairs.unionByName(scored)
+    if persist_reps:
+        out = register_persisted(out, fp, reps)
+    return out
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
@@ -377,7 +381,7 @@ def simhash_near_dups(
     capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = capped.alias("a"), capped.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block_id") == F.col("b.block_id"))
@@ -392,3 +396,4 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return register_persisted(out, capped)

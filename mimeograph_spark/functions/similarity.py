@@ -19,6 +19,8 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import register_persisted
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -163,7 +165,7 @@ def embedding_near_dups(
 
     capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
     a, c = capped.alias("a"), capped.alias("b")
-    return (
+    out = (
         a.join(
             c,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -180,6 +182,7 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return register_persisted(out, capped)
 
 
 def lsh_topk(

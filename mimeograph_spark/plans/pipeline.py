@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import register_persisted
 from ..operators.classify import (
     HAS_NATIVE,
     N_MEDIA,
@@ -180,14 +181,19 @@ def extract(
     )
     big_out = stitch_pages(ocr_pages, salted=salted_stitch, num_salts=num_salts)
 
-    return main_out.unionByName(big_out)
+    out = main_out.unionByName(big_out)
+    if single_scan:
+        out = register_persisted(out, classified)
+    return out
 
 
 def extract_flat(documents: DataFrame, **kwargs) -> DataFrame:
     """Pipeline result flattened to scalar columns (for SQL-oracle
     comparison and sinks that don't want nested arrays)."""
     res = extract(documents, **kwargs)
-    return res.select(
+    from ..cacheutil import persisted_deps
+
+    out = res.select(
         "doc_id",
         "status",
         F.size("spans_out").cast("long").alias("n_spans_out"),
@@ -200,3 +206,4 @@ def extract_flat(documents: DataFrame, **kwargs) -> DataFrame:
             F.array_join(F.transform("spans_out", lambda s: s["text"]), " "),
         ).alias("final_text"),
     )
+    return register_persisted(out, *persisted_deps(res))

@@ -146,6 +146,69 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in physical, physical
 
 
+def _physical_nodes(jplan) -> list[str]:
+    """Node names of the executed plan tree.  InMemoryTableScan is a
+    LEAF — the cached relation's plan is display-only, not a child — so
+    walking children counts only the scans this plan itself performs
+    (the textual plan duplicates FileScan lines inside every
+    InMemoryRelation dump, making string counts meaningless)."""
+    nodes = [jplan.nodeName()]
+    it = jplan.children().iterator()
+    while it.hasNext():
+        nodes.extend(_physical_nodes(it.next()))
+    return nodes
+
+
+def test_hypertable_reads_raw_events_once(spark):
+    """Every rollup level is materialized before the next derives from
+    it, so the union's executed plan performs ZERO file scans of its
+    own — all branches read cached levels (3 InMemoryTableScans: the
+    10min and 1h union branches plus the 1d derivation).  Without the
+    materialization the plan re-scans raw events once per resolution
+    (audited at 3 scans in round 2)."""
+    from mimeograph_spark.cacheutil import unpersist_deps
+    from mimeograph_spark.operators.hypertable import hypertable_rollup
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    df = None
+    try:
+        # AQE wraps stages in AdaptiveSparkPlan leaves, hiding the tree
+        # from a children() walk; the scan-count property is identical
+        # either way, so pin it on the non-adaptive plan.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = hypertable_rollup(
+            spark.read.parquet(f"{SF}/events.parquet")
+        )
+        assert df.count() > 0
+        names = _physical_nodes(df._jdf.queryExecution().executedPlan())
+        scans = [n for n in names if "FileScan" in n or n == "Scan parquet"]
+        imts = [n for n in names if "InMemoryTableScan" in n]
+        assert len(scans) == 0, names
+        assert len(imts) == 3, names
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if df is not None:
+            assert unpersist_deps(df) == 2
+
+
+def test_unpersist_deps_releases_operator_caches(spark):
+    """Operators that persist internal frames register them on the
+    returned DataFrame; unpersist_deps releases them so long-lived
+    sessions don't accumulate cached blocks (caller-owned lifecycle)."""
+    from mimeograph_spark.cacheutil import persisted_deps, unpersist_deps
+    from mimeograph_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs, k=8, bands=2)
+    pairs.count()
+    deps = persisted_deps(pairs)
+    assert len(deps) == 2
+    assert all(d.storageLevel.useMemory for d in deps)
+    assert unpersist_deps(pairs) == 2
+    assert all(not d.storageLevel.useMemory for d in deps)
+    assert persisted_deps(pairs) == []
+
+
 def test_binned_range_join_is_hash_join(spark):
     """The range join must plan as an equi hash join on the bin key —
     never a BroadcastNestedLoopJoin / CartesianProduct."""
