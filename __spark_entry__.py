@@ -142,13 +142,18 @@ def q_ocr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each purchase event matched to
     the same user's most recent at-or-before view event; verified
-    against DuckDB's NATIVE ASOF JOIN."""
+    against DuckDB's NATIVE ASOF JOIN.  The right side is deduped per
+    (user_id, ts) keeping max event_id — mirrored in the oracle — so
+    the tie rule at duplicate timestamps is pinned on both engines
+    (DuckDB ASOF picks arbitrarily among exact duplicates)."""
     ev = _read(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id"
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
     )
     return asof_join(
         purchases, views, time_col="ts", by=["user_id"],

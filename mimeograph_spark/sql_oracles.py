@@ -476,7 +476,11 @@ WITH purchases AS (
   SELECT event_id, user_id, ts, value FROM events
   WHERE event_type = 'purchase'
 ), views AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+  -- deduped per (user_id, ts) keeping max event_id, mirroring the
+  -- Spark query: pins the tie rule at duplicate timestamps (ASOF
+  -- would otherwise pick arbitrarily among exact duplicates)
+  SELECT user_id, ts, max(event_id) AS event_id FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT p.event_id, p.user_id, p.ts, p.value,
        v.event_id AS asof_event_id, v.ts AS asof_ts

@@ -259,3 +259,55 @@ def test_asof_join_edge_semantics(spark):
         ).collect()
     }
     assert got == {1: 12, 2: 11, 3: None, 4: None}
+
+
+def test_asof_join_null_value_field_not_inherited(spark):
+    """All output columns come from the SAME matched right row: a
+    matched row with a NULL value column yields NULL — it must not
+    inherit that field from an older right row (single-struct fill)."""
+    from datetime import datetime
+
+    from mimeograph_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 11, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [(11, "old-label", 100, datetime(2024, 1, 1, 9, 0)),
+         (12, None, 100, datetime(2024, 1, 1, 10, 0))],
+        "event_id long, label string, user_id long, ts timestamp",
+    )
+    row = asof_join(
+        L, R, time_col="ts", by=["user_id"],
+        value_cols=["event_id", "label"],
+    ).collect()[0]
+    assert row["asof_event_id"] == 12
+    assert row["asof_label"] is None  # not "old-label"
+
+
+def test_asof_join_bucketed_matches_plain_on_skewed_keys(spark):
+    """The time-bucketed two-phase form (hard per-task bound for hot
+    `by` keys) must return exactly the plain single-window result on a
+    skew fixture: one bot user with 20k events next to 50 normal
+    users."""
+    from mimeograph_spark.operators.asof import asof_join
+
+    hot_r = spark.range(20000).selectExpr(
+        "id AS event_id", "CAST(0 AS LONG) AS user_id",
+        "timestamp_seconds(1700000000 + id * 7) AS ts",
+    )
+    norm_r = spark.range(2000).selectExpr(
+        "100000 + id AS event_id", "1 + id % 50 AS user_id",
+        "timestamp_seconds(1700000000 + id * 61) AS ts",
+    )
+    R = hot_r.unionByName(norm_r)
+    L = spark.range(3000).selectExpr(
+        "500000 + id AS event_id", "id % 51 AS user_id",
+        "timestamp_seconds(1700000000 + id * 43) AS ts",
+    )
+    kw = dict(time_col="ts", by=["user_id"], value_cols=["event_id", "ts"])
+    plain = asof_join(L, R, **kw).collect()
+    bucketed = asof_join(L, R, time_bucket="6 hours", **kw).collect()
+    key = lambda r: r["event_id"]
+    assert sorted(bucketed, key=key) == sorted(plain, key=key)
