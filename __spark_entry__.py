@@ -29,9 +29,11 @@ from pyspark.sql import functions as F
 
 from mimeograph_spark import sql_oracles
 from mimeograph_spark.corpus import derive_documents
+from mimeograph_spark.cacheutil import unpersist_deps
 from mimeograph_spark.functions.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
+    resolve_clusters,
     simhash_near_dups,
     with_minhash,
     with_simhash,
@@ -233,6 +235,23 @@ def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, k=16, bands=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: resolve LSH near-dup pairs (jaccard >= 0.8)
+    into transitive connected components with one canonical per
+    cluster (dedup.resolve_clusters) — the keep-one-per-cluster
+    deliverable fuzzy dedup was missing.  Verified against a DuckDB
+    recursive-CTE transitive closure."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, k=16, bands=4).filter(
+        F.col("jaccard") >= 0.8
+    )
+    clusters = resolve_clusters(pairs)
+    # resolve_clusters materializes the edge list eagerly
+    # (localCheckpoint), so the LSH caches can be released right away.
+    unpersist_deps(pairs)
+    return clusters
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (multi-table blocking) over documents
     plus an id-shifted exact copy, so the corpus is guaranteed to
@@ -361,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -394,6 +414,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sql_oracles.simhash_sql(bits=32),
         "lsh_near_dup_pairs": sql_oracles.lsh_candidate_pairs_sql(
             k=16, bands=4
+        ),
+        "dedup_clusters": sql_oracles.dedup_clusters_sql(
+            threshold=0.8, k=16, bands=4
         ),
         "simhash_near_dups": sql_oracles.simhash_near_dups_sql(),
         "ann_cosine_topk": sql_oracles.ann_cosine_topk_sql(k=5),

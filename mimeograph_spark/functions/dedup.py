@@ -242,6 +242,105 @@ def lsh_candidate_pairs(
     return out
 
 
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> transitive clusters with one canonical per
+    cluster: the keep-one-per-cluster step that turns LSH/SimHash PAIR
+    output into an actual dedup decision.  Returns (doc_id,
+    canonical_id) for every id appearing in `pairs`; canonical = the
+    minimum id of the connected component (rows with doc_id ==
+    canonical_id are the kept representatives).
+
+    Distributed min-label propagation with pointer jumping — no graph
+    library needed:
+      1. every node starts labeled with itself;
+      2. each round, a node takes the min of its own label and its
+         neighbors' labels (one groupBy over the edge list), then
+         jumps to its label's label (one self-join) — the jump halves
+         path lengths, so convergence is O(log diameter) rounds, not
+         O(diameter);
+      3. each round is localCheckpoint()ed: iterative plans otherwise
+         grow a lineage Catalyst re-optimizes from scratch every
+         action, and the checkpoint also bounds recovery cost;
+      4. stop when a round changes no label (one count per round —
+         the explicit action is the point: it is the convergence
+         barrier).
+    Per round: two shuffles over the EDGE list (not the corpus), both
+    keyed by node id.  A 10^9-edge pair set at 100 TB runs ~log2(max
+    cluster diameter) rounds; real near-dup clusters are shallow (most
+    are stars around one canonical), so 3-5 rounds is typical."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"),
+                    F.col("label").alias("src_label"),
+                ),
+                on="src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        stepped = labels.join(
+            nbr, labels["id"] == nbr["dst"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("_lid"),
+                    F.col("label").alias("_llabel"),
+                ),
+                F.col("x.label") == F.col("_lid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce("_llabel", F.col("x.label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity between two texts."""
     a, b = shingles(text_a, n), shingles(text_b, n)

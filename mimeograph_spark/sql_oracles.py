@@ -310,6 +310,31 @@ SELECT * FROM rerank
 """
 
 
+def dedup_clusters_sql(
+    threshold: float = 0.8, k: int = 16, bands: int = 4
+) -> str:
+    """Mirrors dedup.resolve_clusters over the LSH pair output:
+    transitive closure of the thresholded pair graph via a recursive
+    CTE, canonical = min id of each connected component (the Spark
+    side computes the same fixpoint by min-label propagation)."""
+    inner = lsh_candidate_pairs_sql(k=k, bands=bands)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({inner}) WHERE jaccard >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src
+)
+SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+FROM reach GROUP BY id
+"""
+
+
 def simhash_near_dups_sql(
     bits: int = 32,
     max_hamming: int = 3,

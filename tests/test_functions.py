@@ -233,6 +233,32 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
 
 
+def test_resolve_clusters_chain_collapses_to_one_canonical(spark):
+    """A-B and B-C (never a direct A-C pair) must land in ONE cluster
+    with canonical A; a long chain exercises multiple propagation
+    rounds (pointer jumping converges in O(log diameter))."""
+    from mimeograph_spark.functions.dedup import resolve_clusters
+
+    chain = [(i, i + 1) for i in range(1, 9)]  # 1-2-...-9, diameter 8
+    pairs = spark.createDataFrame(
+        chain + [(20, 21), (30, 30)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_clusters(pairs).collect()
+    }
+    assert got == (
+        {i: 1 for i in range(1, 10)} | {20: 20, 21: 20, 30: 30}
+    )
+
+
+def test_resolve_clusters_empty_pairs(spark):
+    from mimeograph_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert resolve_clusters(pairs).count() == 0
+
+
 def test_asof_join_edge_semantics(spark):
     """Equal timestamps match (<=), earlier-only semantics otherwise,
     and a left row with no at-or-before right row gets NULLs."""
