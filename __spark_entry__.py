@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_suppliers": relational.q5_local_suppliers,
+        "q17_small_quantity": relational.q17_small_quantity_revenue,
         "window_topn": relational.window_top_orders_per_customer,
         "window_analytics": relational.window_analytics,
         "rollup_status_month": relational.rollup_orders_by_status_month,

@@ -378,3 +378,28 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(priorities)
     ]
     return pv.select(*cols)
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    quantity is below 20% of their part's average quantity, grouped by
+    brand.  Written as SQL on purpose — the point is the ENGINE path:
+    Catalyst must decorrelate the per-part average into an aggregate +
+    join (a per-row subquery over a 100 TB lineitem would be O(n^2)
+    scans); a plan test pins that no Subquery node survives and the
+    executed plan is pure joins + aggregates.  The quantity boundary
+    is FP-safe: quantities are integral, so avg and 0.2*avg are
+    bit-identical across engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    return spark.sql("""
+        SELECT p.p_brand,
+               count(*) AS n_small,
+               round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM _q17_lineitem l JOIN _q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 10
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity)
+            FROM _q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+    """)

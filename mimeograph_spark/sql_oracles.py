@@ -726,6 +726,17 @@ FROM refs
 # ---------------------------------------------------------------------------
 
 RELATIONAL_ORACLES = {
+    "q17_small_quantity": """
+SELECT p.p_brand,
+       count(*) AS n_small,
+       round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 10
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+""",
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

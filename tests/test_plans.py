@@ -209,6 +209,22 @@ def test_unpersist_deps_releases_operator_caches(spark):
     assert persisted_deps(pairs) == []
 
 
+def test_q17_correlated_subquery_is_decorrelated(spark):
+    """The per-part average must run as ONE aggregate joined back to
+    lineitem (Catalyst decorrelation), never as a per-outer-row
+    subquery execution — at 100 TB a row-at-a-time subquery is O(n^2)
+    corpus scans."""
+    df = relational.q17_small_quantity_revenue(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in physical, physical
+    n_joins = sum(
+        physical.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins >= 2, physical
+    assert physical.count("HashAggregate") >= 2, physical
+
+
 def test_binned_range_join_is_hash_join(spark):
     """The range join must plan as an equi hash join on the bin key —
     never a BroadcastNestedLoopJoin / CartesianProduct."""
