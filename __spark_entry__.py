@@ -263,6 +263,24 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs.unionByName(shifted))
 
 
+def q_simhash_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap accounting ("no silent caps"): the drop-stats side output
+    of simhash_near_dups over documents plus a 3000-doc degenerate
+    clone block — the clones blow past max_block, and this query
+    surfaces exactly how many buckets/rows the cap discarded (on a
+    pathological corpus the pair output under-reports; this is the
+    signal that says so)."""
+    from mimeograph_spark.cacheutil import cap_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = spark.range(3000).select(
+        (F.col("id") + 2000000).alias("doc_id"),
+        F.lit(sql_oracles.CAP_STATS_CLONE_TEXT).alias("text"),
+    )
+    pairs = simhash_near_dups(docs.unionByName(clones))
+    return cap_stats(pairs)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -383,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
+        "simhash_cap_stats": q_simhash_cap_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -420,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.8, k=16, bands=4
         ),
         "simhash_near_dups": sql_oracles.simhash_near_dups_sql(),
+        "simhash_cap_stats": sql_oracles.simhash_cap_stats_sql(),
         "ann_cosine_topk": sql_oracles.ann_cosine_topk_sql(k=5),
         "ann_lsh_topk": sql_oracles.ann_lsh_topk_sql(
             dim=64, n_planes=8, k=5

@@ -35,6 +35,26 @@ def persisted_deps(df: DataFrame) -> list[DataFrame]:
     return list(getattr(df, _ATTR, []))
 
 
+_STATS_ATTR = "_mimeo_cap_stats"
+
+
+def register_cap_stats(df: DataFrame, stats: DataFrame) -> DataFrame:
+    """Attach a cap-accounting side output ("no silent caps"): a 1-row
+    frame (operator, dropped_buckets, dropped_rows) describing what a
+    bounded operator discarded.  Retrieve with :func:`cap_stats`; on a
+    pathological corpus this is the only signal that the pair output
+    under-reports, so pipelines should collect it into their lineage/
+    metrics sink alongside the result."""
+    setattr(df, _STATS_ATTR, stats)
+    return df
+
+
+def cap_stats(df: DataFrame) -> DataFrame | None:
+    """The cap-accounting frame registered on `df` (None if the
+    operator has no caps or `df` is a derived frame)."""
+    return getattr(df, _STATS_ATTR, None)
+
+
 def unpersist_deps(df: DataFrame, blocking: bool = False) -> int:
     """Unpersist every registered dependency of `df`; returns how many
     frames were released."""

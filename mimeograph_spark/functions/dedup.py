@@ -29,8 +29,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..cacheutil import register_persisted
+from ..cacheutil import register_cap_stats, register_persisted
 from .textstats import fingerprint
+
+
+def drop_stats(
+    sized: DataFrame, keys: list[str], cap: int, operator: str
+) -> DataFrame:
+    """Cap accounting ("no silent caps"): 1-row frame counting the
+    buckets/rows a `> cap` filter discarded.  `sized` must carry the
+    per-bucket window count as `_bn`.  Zero-drop corpora yield a row
+    of zeros, so the signal is always present, never absent."""
+    return (
+        sized.filter(F.col("_bn") > cap)
+        .agg(
+            F.countDistinct(F.concat_ws(":", *keys))
+            .cast("long")
+            .alias("dropped_buckets"),
+            F.count(F.lit(1)).cast("long").alias("dropped_rows"),
+        )
+        .select(
+            F.lit(operator).alias("operator"),
+            "dropped_buckets",
+            "dropped_rows",
+        )
+    )
 
 # MinHash parameters: k permutations as (a, b) pairs over a Mersenne
 # prime field; fixed constants (seeded once, hard-coded) so Spark and
@@ -204,10 +227,10 @@ def lsh_candidate_pairs(
     from pyspark.sql import Window
 
     bucket_w = Window.partitionBy("band", "band_hash")
-    capped = (
-        banded.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
+    sized = banded.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
+    capped = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    stats = drop_stats(
+        sized, ["band", "band_hash"], max_bucket, "lsh_candidate_pairs"
     )
     a, b = capped.alias("a"), capped.alias("b")
     cand = (
@@ -239,7 +262,7 @@ def lsh_candidate_pairs(
     out = member_pairs.unionByName(scored)
     if persist_reps:
         out = register_persisted(out, fp, reps)
-    return out
+    return register_cap_stats(out, stats)
 
 
 def resolve_clusters(
@@ -470,14 +493,17 @@ def simhash_near_dups(
     from pyspark.sql import Window
 
     block_w = Window.partitionBy("block_id", "block_val")
-    capped = (
-        blocked.withColumn("_bn", F.count(F.lit(1)).over(block_w))
-        .filter(F.col("_bn") <= max_block)
-        .drop("_bn")
-    )
     from pyspark.storagelevel import StorageLevel
 
-    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    # the sized frame (block rows + window count) is persisted — it
+    # feeds both self-join sides AND the drop-accounting aggregate.
+    sized = blocked.withColumn(
+        "_bn", F.count(F.lit(1)).over(block_w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    capped = sized.filter(F.col("_bn") <= max_block).drop("_bn")
+    stats = drop_stats(
+        sized, ["block_id", "block_val"], max_block, "simhash_near_dups"
+    )
     a, b = capped.alias("a"), capped.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     out = (
@@ -495,4 +521,4 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
-    return register_persisted(out, capped)
+    return register_cap_stats(register_persisted(out, sized), stats)

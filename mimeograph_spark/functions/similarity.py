@@ -154,16 +154,18 @@ def embedding_near_dups(
         lsh_bucket(cvec, planes).alias("bucket"),
     ).withColumn("_n", l2_norm(F.col("_vec")))
     bucket_w = Window.partitionBy("bucket")
-    capped = (
-        b.withColumn("_bn", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("_bn") <= max_bucket)
-        .drop("_bn")
-    )
-    # capped feeds both sides of the self-join: persist so the
-    # 8-plane bucket projection doesn't run twice over the corpus.
+    # the sized frame feeds both self-join sides AND the
+    # drop-accounting aggregate: persist so the 8-plane bucket
+    # projection doesn't run twice over the corpus.
     from pyspark.storagelevel import StorageLevel
 
-    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
+    from mimeograph_spark.functions.dedup import drop_stats
+
+    sized = b.withColumn(
+        "_bn", F.count(F.lit(1)).over(bucket_w)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    capped = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+    stats = drop_stats(sized, ["bucket"], max_bucket, "embedding_near_dups")
     a, c = capped.alias("a"), capped.alias("b")
     out = (
         a.join(
@@ -182,7 +184,9 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    return register_persisted(out, capped)
+    from ..cacheutil import register_cap_stats
+
+    return register_cap_stats(register_persisted(out, sized), stats)
 
 
 def lsh_topk(

@@ -335,14 +335,10 @@ FROM reach GROUP BY id
 """
 
 
-def simhash_near_dups_sql(
-    bits: int = 32,
-    max_hamming: int = 3,
-    n_blocks: int = 4,
-    max_block: int = 256,
-) -> str:
-    """Mirrors dedup.simhash_near_dups (multi-table blocking + cap +
-    dedup + hamming filter) over documents UNION a shifted copy."""
+def _simhash_block_ctes(source: str, bits: int, n_blocks: int) -> str:
+    """toks -> hashed -> sh -> blocks CTE chain computing the packed
+    SimHash and its multi-table blocks for relation `source` (must
+    expose doc_id, text)."""
     bw = bits // n_blocks
     mask = (1 << bw) - 1
     terms = []
@@ -357,14 +353,9 @@ def simhash_near_dups_sql(
         f"AS block_val FROM sh"
         for j in range(n_blocks)
     )
-    return f"""
-WITH both_copies AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-), toks AS (
+    return f"""toks AS (
   SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
-  FROM both_copies
+  FROM {source}
 ), hashed AS (
   SELECT doc_id,
          list_transform(ntoks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
@@ -373,7 +364,23 @@ WITH both_copies AS (
   SELECT doc_id, {" + ".join(terms)} AS sh FROM hashed
 ), blocks AS (
   {block_exprs}
-), capped AS (
+)"""
+
+
+def simhash_near_dups_sql(
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block: int = 256,
+) -> str:
+    """Mirrors dedup.simhash_near_dups (multi-table blocking + cap +
+    dedup + hamming filter) over documents UNION a shifted copy."""
+    return f"""
+WITH both_copies AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+), {_simhash_block_ctes("both_copies", bits, n_blocks)}, capped AS (
   SELECT * FROM blocks
   QUALIFY count(*) OVER (PARTITION BY block_id, block_val) <= {max_block}
 ), pairs AS (
@@ -384,6 +391,36 @@ WITH both_copies AS (
    AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+CAP_STATS_CLONE_TEXT = "the same text repeated for cap accounting"
+
+
+def simhash_cap_stats_sql(
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_block: int = 256,
+    n_clones: int = 3000,
+) -> str:
+    """Mirrors the drop-accounting side output of simhash_near_dups
+    over documents UNION a degenerate clone block: counts the
+    (block_id, block_val) buckets the `> max_block` cap discards and
+    the rows inside them."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 2000000 + i AS doc_id, '{CAP_STATS_CLONE_TEXT}' AS text
+  FROM generate_series(0, {n_clones - 1}) t(i)
+), {_simhash_block_ctes("corpus", bits, n_blocks)}, sized AS (
+  SELECT *, count(*) OVER (PARTITION BY block_id, block_val) AS bn
+  FROM blocks
+)
+SELECT 'simhash_near_dups' AS operator,
+       count(DISTINCT (block_id || ':' || block_val)) AS dropped_buckets,
+       count(*) AS dropped_rows
+FROM sized WHERE bn > {max_block}
 """
 
 

@@ -233,6 +233,26 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert abs(row["approx"] - row["exact"]) <= max(0.05 * row["exact"], 1)
 
 
+def test_cap_drops_are_reported_and_pair_output_stays_linear(spark):
+    """Degenerate corpus (5k identical docs): every block blows past
+    max_block, so the operator must (a) report the drop through its
+    cap-stats side output — never silently — and (b) keep the pair
+    output linear instead of emitting the 12.5M-pair clique."""
+    from mimeograph_spark.cacheutil import cap_stats, unpersist_deps
+    from mimeograph_spark.functions.dedup import simhash_near_dups
+
+    docs = spark.range(5000).selectExpr(
+        "id AS doc_id", "'all documents share this text' AS text"
+    )
+    pairs = simhash_near_dups(docs, max_block=256)
+    stats = cap_stats(pairs).collect()[0]
+    assert stats["operator"] == "simhash_near_dups"
+    assert stats["dropped_buckets"] == 4  # all 4 blocks of the clique
+    assert stats["dropped_rows"] == 20000  # 5000 docs x 4 blocks
+    assert pairs.count() == 0  # clique suppressed, not exploded
+    unpersist_deps(pairs)
+
+
 def test_resolve_clusters_chain_collapses_to_one_canonical(spark):
     """A-B and B-C (never a direct A-C pair) must land in ONE cluster
     with canonical A; a long chain exercises multiple propagation
