@@ -48,6 +48,7 @@ from mimeograph_spark.functions.multimodal import (
 from mimeograph_spark.functions.similarity import (
     brute_force_topk,
     embedding_near_dups,
+    ivf_topk,
     lsh_topk,
 )
 from mimeograph_spark.functions.textstats import (
@@ -290,11 +291,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k at Hamming radius 2 (query-side probe
+    expansion only; corpus stays a single bucketed pass)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=64, n_planes=8, k=5)
+    return lsh_topk(emb, queries, dim=64, n_planes=8, k=5, probe_radius=2)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (similarity.ivf_topk): Voronoi cells around a
+    deterministic centroid sample, nprobe nearest cells scored — the
+    high-recall ANN path on weakly-clustered embeddings (recall 0.58
+    at sf0.1 vs 0.38 for radius-2 LSH)."""
+    return ivf_topk(
+        _read(spark, sf_dir, "embeddings"), k=5, nprobe=8, centroid_step=50
+    )
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cap_stats": q_simhash_cap_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "semi_join_q4": relational.semi_join_order_priority,
         "outer_join_nations": relational.outer_join_nation_activity,
@@ -442,7 +456,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_cap_stats": sql_oracles.simhash_cap_stats_sql(),
         "ann_cosine_topk": sql_oracles.ann_cosine_topk_sql(k=5),
         "ann_lsh_topk": sql_oracles.ann_lsh_topk_sql(
-            dim=64, n_planes=8, k=5
+            dim=64, n_planes=8, k=5, probe_radius=2
+        ),
+        "ann_ivf_topk": sql_oracles.ann_ivf_topk_sql(
+            k=5, nprobe=8, centroid_step=50
         ),
         "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,

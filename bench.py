@@ -161,9 +161,9 @@ HEADLINE_QUERIES = (
 )
 
 
-def _ann_recall(spark) -> float:
-    """Recall of the multi-probe LSH top-k vs the exact brute-force
-    top-k on the bench corpus: |lsh ∩ exact| / |exact|."""
+def _ann_recall(spark) -> dict[str, float]:
+    """Recall of each approximate top-k vs the exact brute-force
+    top-k on the bench corpus: |approx ∩ exact| / |exact|."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -171,11 +171,14 @@ def _ann_recall(spark) -> float:
         (r["query_id"], r["vec_id"])
         for r in qs["ann_cosine_topk"](spark, SF_DIR).collect()
     }
-    lsh = {
-        (r["query_id"], r["vec_id"])
-        for r in qs["ann_lsh_topk"](spark, SF_DIR).collect()
-    }
-    return round(len(lsh & exact) / max(len(exact), 1), 4)
+    out = {}
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in qs[name](spark, SF_DIR).collect()
+        }
+        out[name] = round(len(approx & exact) / max(len(exact), 1), 4)
+    return out
 
 
 def _time_queries(spark) -> dict[str, float]:
@@ -243,12 +246,17 @@ def main() -> None:
         "docs_per_sec": high["docs_per_sec"],
         "total_sec": total,
         "extract_sec": high["sec"],
-        "ann_lsh_recall_vs_exact": ann_recall,
+        "ann_lsh_recall_vs_exact": ann_recall["ann_lsh_topk"],
+        "ann_ivf_recall_vs_exact": ann_recall["ann_ivf_topk"],
         "scaling": {
             "cores_low": 8, "cores_high": CPUS,
             "docs_per_sec_low": low["docs_per_sec"],
             "docs_per_sec_high": high["docs_per_sec"],
             "efficiency": round(efficiency, 3),
+            # the low level runs with nice-19 spinners equalizing
+            # active-core clock state (see BENCH/BASELINE.md): this
+            # number is NOT comparable to an idle-core 8c measurement
+            "clock_equalized": True,
         },
     }
 
@@ -304,13 +312,20 @@ def main() -> None:
             "workers / caches, same discipline as the headline metric).\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
-            + f"\n## ANN quality\n\nMulti-probe LSH top-k recall vs exact "
-            f"brute-force top-k (same corpus/queries): **{ann_recall}**.\n"
-            "Context: radius-1 probing scores 9/256 buckets (~3.5% of the "
-            "corpus), so this recall is ~7x better than candidate-count "
-            "parity; the synthetic embeddings are near-uniform, the "
-            "hardest case for locality hashing (radius-2 measured 0.38 "
-            "for 4x the candidates).\n"
+            + "\n## ANN quality\n\nRecall vs exact brute-force top-k "
+            "(same corpus/queries):\n\n"
+            f"- radius-2 multi-probe LSH (`ann_lsh_topk`): "
+            f"**{ann_recall['ann_lsh_topk']}** — 37/256 buckets probed "
+            "(~15% of the corpus scored), query-side expansion only.\n"
+            f"- IVF, M=n/50 centroids, nprobe=8 (`ann_ivf_topk`): "
+            f"**{ann_recall['ann_ivf_topk']}** — ~nprobe/M of the corpus "
+            "scored (~20% here; the fraction SHRINKS as the corpus grows "
+            "at fixed nprobe with M ~ sqrt(n)).\n\n"
+            "Context: the synthetic embeddings are near-uniform (top-5 "
+            "neighbor cosine ~0.4 vs pairwise noise sigma 0.126), the "
+            "hardest case for any sublinear ANN; IVF's data-adaptive "
+            "cells dominate fixed random hyperplanes on recall per "
+            "candidate here, which is why both paths ship.\n"
         )
 
     print(json.dumps(result))

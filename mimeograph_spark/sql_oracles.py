@@ -446,7 +446,9 @@ FROM ranked WHERE rank <= {k}
 
 
 def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
-                     modulus: int = 100, multi_probe: bool = True) -> str:
+                     modulus: int = 100, probe_radius: int = 1) -> str:
+    import itertools
+
     from .functions.similarity import hyperplanes
 
     planes = hyperplanes(dim, n_planes)
@@ -456,17 +458,29 @@ def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
         + "]) >= 0 THEN '1' ELSE '0' END)"
         for plane in planes
     )
-    probe_selects = ["SELECT query_id, qvec, bucket FROM q"]
-    if multi_probe:
+
+    def flipped(positions: set[int]) -> str:
+        # per-character rebuild mirroring similarity._flip_bits
+        parts = []
         for i in range(1, n_planes + 1):
-            flipped = (
-                f"substr(bucket, 1, {i - 1}) || "
-                f"(CASE WHEN substr(bucket, {i}, 1) = '1' "
-                f"THEN '0' ELSE '1' END) || substr(bucket, {i + 1})"
-            )
-            probe_selects.append(
-                f"SELECT query_id, qvec, {flipped} AS bucket FROM q"
-            )
+            c = f"substr(bucket, {i}, 1)"
+            if i - 1 in positions:
+                c = f"(CASE WHEN {c} = '1' THEN '0' ELSE '1' END)"
+            parts.append(c)
+        return " || ".join(parts)
+
+    probe_selects = ["SELECT query_id, qvec, bucket FROM q"]
+    flip_sets: list[set[int]] = []
+    if probe_radius >= 1:
+        flip_sets += [{i} for i in range(n_planes)]
+    if probe_radius >= 2:
+        flip_sets += [
+            {i, j} for i, j in itertools.combinations(range(n_planes), 2)
+        ]
+    for ps in flip_sets:
+        probe_selects.append(
+            f"SELECT query_id, qvec, {flipped(ps)} AS bucket FROM q"
+        )
     return f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec, {bits} AS bucket FROM embeddings
@@ -481,6 +495,64 @@ WITH b AS (
                / (sqrt(list_dot_product(b.vec, b.vec))
                   * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS cosine
   FROM b JOIN probes p ON b.bucket = p.bucket
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_ivf_topk_sql(
+    k: int = 5,
+    nprobe: int = 8,
+    centroid_step: int = 50,
+    modulus: int = 100,
+) -> str:
+    """Mirrors similarity.ivf_topk: deterministic centroid sample,
+    rounded-cosine argmax cell assignment (ties to the lowest centroid
+    id), nprobe nearest cells per query, exact rerank within probed
+    cells."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
+  WHERE vec_id % {centroid_step} = 1
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assign_scored AS (
+  SELECT b.vec_id, b.vec, c.cid,
+         {cos.format(a="b.vec", b="c.cvec")} AS sim
+  FROM base b CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, vec AS qvec FROM base
+  WHERE vec_id % {modulus} = 0
+), probe_scored AS (
+  SELECT q.query_id, q.qvec, c.cid,
+         {cos.format(a="q.qvec", b="c.cvec")} AS sim
+  FROM q CROSS JOIN cent c
+), probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM probe_scored
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a="a.vec", b="p.qvec")} AS cosine
+  FROM assigned a JOIN probes p ON a.cid = p.cid
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
