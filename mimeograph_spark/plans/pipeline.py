@@ -72,9 +72,12 @@ def extract(
     bench corpus (broadcast crossJoin, cheap to recompute) the cache
     write costs ~50% throughput, so it stays opt-in rather than
     default.  Turn it on when the input is an expensive scan and the
-    increment is bounded (the resumable runner's micro-batches); on a
-    real deployment the routing column would live in the Iceberg table
-    and prune files instead, making both modes moot."""
+    increment is bounded (the resumable runner's micro-batches); a
+    corpus written through `corpus.write_routed_corpus` carries the
+    routing columns IN STORAGE (has_native partitions the files,
+    n_media has sorted row-group stats) and prunes at plan time,
+    making both modes moot — with_doc_class is idempotent, so stored
+    routing columns flow through untouched (plan-tested)."""
     classified = with_doc_class(documents)
     if single_scan:
         from pyspark.storagelevel import StorageLevel
