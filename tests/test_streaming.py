@@ -143,3 +143,54 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     # user 9 only appeared in batch 1
     assert [(r["batch_events"], r["total_events"], r["total_value"])
             for r in by_user[9]] == [(1, 1, 5.0)]
+
+
+def test_stateful_final_totals_equal_batch_aggregate(spark, tmp_path):
+    """Streaming-batch twin check: after three availableNow runs (two
+    restarts) over accumulating input, each user's LAST streaming
+    total must equal the plain batch groupBy aggregate over the union
+    of every micro-batch — the stateful operator is exactly a
+    distributed incremental groupBy, and this pins it."""
+    import random
+
+    from mimeograph_spark.streaming.stateful import running_user_totals
+
+    input_dir = str(tmp_path / "eq_in")
+    output_dir = str(tmp_path / "eq_out")
+    ckpt_dir = str(tmp_path / "eq_ckpt")
+    rng = random.Random(7)
+    eid = 0
+    for _ in range(3):
+        rows = []
+        for _ in range(200):
+            eid += 1
+            rows.append(
+                (eid, rng.randint(1, 20), round(rng.uniform(0, 10), 2))
+            )
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+        q = running_user_totals(spark, input_dir, output_dir, ckpt_dir)
+        q.awaitTermination(120)
+
+    last = {}
+    for r in spark.read.parquet(output_dir).collect():
+        cur = last.get(r["user_id"])
+        if cur is None or r["total_events"] > cur["total_events"]:
+            last[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r
+        for r in spark.read.parquet(input_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .collect()
+    }
+    assert set(last) == set(batch)
+    for uid, b in batch.items():
+        assert last[uid]["total_events"] == b["n"]
+        # streaming accumulates in arrival order, batch in shuffle
+        # order: identical up to FP associativity
+        assert abs(last[uid]["total_value"] - b["v"]) < 1e-6
