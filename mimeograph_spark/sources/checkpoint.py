@@ -37,8 +37,12 @@ class CheckpointTable:
     """Append-only snapshot table at `path` (local FS or any Hadoop
     path the driver can also reach via the local FS API)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, lock_stale_after: float = 60.0):
         self.path = path
+        # a manifest lock older than this is considered leaked by a
+        # crashed writer and taken over (live writers hold it only for
+        # the milliseconds of one manifest read+rewrite)
+        self.lock_stale_after = lock_stale_after
         os.makedirs(path, exist_ok=True)
 
     # -- manifest -----------------------------------------------------
@@ -86,13 +90,37 @@ class CheckpointTable:
         while True:
             try:
                 fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"pid": os.getpid(), "ts": time.time()}
+                    ).encode(),
+                )
                 break
             except FileExistsError:
+                # Crash-safety: a writer killed between lock creation
+                # and unlink must not block appends forever.  A lock
+                # older than lock_stale_after is broken via RENAME to a
+                # unique name — atomically claims the takeover for
+                # exactly one contender (a plain unlink could delete a
+                # lock another breaker just re-created).
+                try:
+                    age = time.time() - os.stat(lock_path).st_mtime
+                except FileNotFoundError:
+                    continue  # released between open() and stat()
+                if age > self.lock_stale_after:
+                    takeover = f"{lock_path}.stale.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock_path, takeover)
+                        os.unlink(takeover)
+                    except FileNotFoundError:
+                        pass  # another contender won the takeover
+                    continue
                 if time.time() > deadline:
                     raise TimeoutError(
-                        f"manifest lock {lock_path} held for >60s; a "
-                        "crashed writer may have leaked it — remove the "
-                        "lock file after confirming no writer is alive"
+                        f"manifest lock {lock_path} held for >60s by a "
+                        "live writer (lock is fresh, so stale-takeover "
+                        "does not apply) — investigate the holder"
                     )
                 time.sleep(0.05)
         try:

@@ -130,3 +130,23 @@ def test_concurrent_appends_keep_all_snapshots(spark, tmp_path, corpus):
     assert not errs
     assert len(ckpt.snapshots()) == 2
     assert ckpt.read(spark).count() == 8
+
+
+def test_stale_manifest_lock_is_taken_over(spark, tmp_path, corpus):
+    """A lock leaked by a crashed writer (older than lock_stale_after)
+    must be broken automatically — append succeeds instead of raising
+    TimeoutError and asking a human to delete the file."""
+    import os
+    import time
+
+    ckpt = CheckpointTable(str(tmp_path / "stale"), lock_stale_after=1.0)
+    lock = os.path.join(ckpt.path, ".manifest.lock")
+    with open(lock, "w") as f:
+        f.write('{"pid": 0, "ts": 0}')
+    past = time.time() - 3600
+    os.utime(lock, (past, past))
+    _, docs = corpus
+    snap = ckpt.append(docs.limit(3))
+    assert snap["id"].startswith("snap-")
+    assert len(ckpt.snapshots()) == 1
+    assert not os.path.exists(lock)  # released after commit
