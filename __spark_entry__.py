@@ -199,6 +199,32 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation — the composed filter a training-data
+    pipeline actually ships: keep a document iff it is (a) the
+    canonical of its exact-duplicate group (min doc_id per normalized
+    fingerprint), (b) quality-scored >= 0.6, (c) predicted English,
+    (d) 5..2000 tokens.  Runs over documents UNION a shifted copy so
+    the dedup leg provably drops rows.  One textstats pass + one
+    window — no joins, one shuffle on the fingerprint."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    stats = with_textstats(docs.unionByName(shifted))
+    w = Window.partitionBy("fingerprint")
+    return (
+        stats.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("_canon"))
+            & (F.col("quality") >= 0.6)
+            & (F.col("lang_pred") == "en")
+            & F.col("n_tokens").between(5, 2000)
+        )
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )
+
+
 def q_udaf_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregate (UDAF) via applyInPandas: per-language
     quality percentiles — SURVEY §2.4 UDF/UDAF/UDTF surface."""
@@ -406,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_cohorts": relational.customer_cohort_set_ops,
         # training-data
         "textstats": q_textstats,
+        "curate_documents": q_curate_documents,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
         "dedup_exact": q_dedup_exact,
@@ -440,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_pages": sql_oracles.ocr_pages_sql(),
         # training-data
         "textstats": sql_oracles.textstats_sql(),
+        "curate_documents": sql_oracles.curate_documents_sql(),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
         "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,

@@ -138,10 +138,45 @@ class CheckpointTable:
             os.unlink(lock_path)
         return snap
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Union of all committed snapshots (None if table is empty)."""
+    def _snaps_upto(self, as_of: str | None) -> list[dict]:
+        snaps = self.snapshots()
+        if as_of is None:
+            return snaps
+        idx = [i for i, s in enumerate(snaps) if s["id"] == as_of]
+        if not idx:
+            raise KeyError(f"unknown snapshot id: {as_of}")
+        return snaps[: idx[0] + 1]
+
+    def read(
+        self, spark: SparkSession, as_of: str | None = None
+    ) -> DataFrame | None:
+        """Union of committed snapshots (None if the table is empty).
+
+        `as_of` = TIME TRAVEL: read the table exactly as it stood when
+        that snapshot committed (it and everything before it) — the
+        manifest's ordered snapshot list makes every historical table
+        state addressable, same contract as Iceberg's
+        `VERSION AS OF`."""
         dirs = [
-            os.path.join(self.path, s["dir"]) for s in self.snapshots()
+            os.path.join(self.path, s["dir"])
+            for s in self._snaps_upto(as_of)
+        ]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def read_since(
+        self, spark: SparkSession, snapshot_id: str
+    ) -> DataFrame | None:
+        """INCREMENTAL read: only rows committed strictly AFTER
+        `snapshot_id` (None if nothing newer exists) — the changelog
+        slice a downstream consumer polls instead of re-reading the
+        whole table (Iceberg's incremental scan)."""
+        done = {s["id"] for s in self._snaps_upto(snapshot_id)}
+        dirs = [
+            os.path.join(self.path, s["dir"])
+            for s in self.snapshots()
+            if s["id"] not in done
         ]
         if not dirs:
             return None

@@ -125,7 +125,7 @@ _TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 _TOKS_LOWER = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 
-def textstats_sql() -> str:
+def textstats_sql(source: str = "documents") -> str:
     from .functions.textstats import LANG_MARKERS, STOPWORDS
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -157,7 +157,7 @@ WITH base AS (
              / CAST(len({_TOKS_LOWER}) AS DOUBLE)
          ELSE 0.0 END AS stopword_ratio,
          {", ".join(score_exprs)}
-  FROM documents
+  FROM {source}
 ), scored AS (
   SELECT *, {best} AS best FROM base
 )
@@ -175,6 +175,33 @@ SELECT doc_id,
             THEN {first_winner} ELSE 'und' END AS lang_pred,
        md5({_NORM}) AS fingerprint
 FROM scored
+"""
+
+
+def curate_documents_sql(
+    min_quality: float = 0.6,
+    lang: str = "en",
+    min_tokens: int = 5,
+    max_tokens: int = 2000,
+) -> str:
+    """Mirrors the composed curation query: exact-dup canonical filter
+    (min doc_id per fingerprint) AND quality AND language AND length —
+    over documents UNION a shifted copy (guaranteed duplicates)."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT doc_id, lang_pred, quality, n_tokens
+FROM (
+  SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+  FROM ({textstats_sql(source="corpus")})
+)
+WHERE doc_id = canon
+  AND quality >= {min_quality}
+  AND lang_pred = '{lang}'
+  AND n_tokens BETWEEN {min_tokens} AND {max_tokens}
 """
 
 

@@ -150,3 +150,25 @@ def test_stale_manifest_lock_is_taken_over(spark, tmp_path, corpus):
     assert snap["id"].startswith("snap-")
     assert len(ckpt.snapshots()) == 1
     assert not os.path.exists(lock)  # released after commit
+
+
+def test_time_travel_and_incremental_read(spark, tmp_path, corpus):
+    """Iceberg-contract reads over the snapshot manifest: `as_of`
+    reproduces any historical table state; `read_since` returns only
+    rows committed after a snapshot (the changelog slice a downstream
+    consumer polls)."""
+    _, docs = corpus
+    ckpt = CheckpointTable(str(tmp_path / "tt"))
+    s1 = ckpt.append(docs.limit(2).select("doc_id"))
+    s2 = ckpt.append(docs.limit(5).select("doc_id"))
+    ckpt.append(docs.limit(9).select("doc_id"))
+
+    assert ckpt.read(spark).count() == 16
+    assert ckpt.read(spark, as_of=s1["id"]).count() == 2
+    assert ckpt.read(spark, as_of=s2["id"]).count() == 7
+    assert ckpt.read_since(spark, s1["id"]).count() == 14
+    assert ckpt.read_since(spark, s2["id"]).count() == 9
+    import pytest
+
+    with pytest.raises(KeyError):
+        ckpt.read(spark, as_of="snap-nope")
