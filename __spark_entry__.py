@@ -199,6 +199,34 @@ def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (functions/html_extract): strip
+    script/style, segment into blocks, keep long link-sparse blocks
+    (readability-style text/link-density heuristics), with discarded
+    visible chars accounted.  Pages are synthesized closed-form around
+    each document's text so the DuckDB oracle replays byte-for-byte.
+    Pure codegen — zero Python, one pass per document."""
+    from mimeograph_spark.functions.html_extract import (
+        extract_main_content,
+        synth_html,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.select(
+        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("_html")
+    )
+    res = page.select(
+        "doc_id", extract_main_content(F.col("_html")).alias("r")
+    )
+    return res.select(
+        "doc_id",
+        "r.main_text",
+        "r.n_blocks_kept",
+        "r.n_blocks_total",
+        "r.boilerplate_chars",
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation — the composed filter a training-data
     pipeline actually ships: keep a document iff it is (a) the
@@ -423,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": relational.window_analytics,
         "rollup_status_month": relational.rollup_orders_by_status_month,
         "cube_status_priority": relational.cube_status_priority,
+        "grouping_sets_revenue": relational.grouping_sets_revenue,
         "anti_join_customers": relational.customers_without_orders,
         "string_funcs": relational.part_string_funcs,
         "events_tumbling": relational.events_tumbling_window,
@@ -432,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_cohorts": relational.customer_cohort_set_ops,
         # training-data
         "textstats": q_textstats,
+        "html_main_content": q_html_main_content,
         "curate_documents": q_curate_documents,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
@@ -467,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_pages": sql_oracles.ocr_pages_sql(),
         # training-data
         "textstats": sql_oracles.textstats_sql(),
+        "html_main_content": sql_oracles.html_main_content_sql(),
         "curate_documents": sql_oracles.curate_documents_sql(),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),

@@ -1,0 +1,140 @@
+"""HTML main-content extraction: boilerplate strip + density
+heuristics — the web-document leg of main-content extraction (the
+north rule names "HTML boilerplate strip, DOM heuristics" alongside
+the PDF/OCR chain).
+
+A full DOM parse is not expressible in built-in column functions, but
+the heuristics that production boilerplate removal actually relies on
+(readability/trafilatura-style) are:
+
+1. drop <script>/<style> subtrees;
+2. segment the page into BLOCKS at block-level closing tags
+   (p/div/nav/footer/article/section/h1-6/li);
+3. per block, compare visible text length against the length of text
+   inside <a> anchors — navigation, ad and footer blocks are short
+   and/or link-dense, article prose is long and link-sparse;
+4. keep blocks with text_len >= min_text_len and link_density <=
+   max_link_density; join them in document order.
+
+Every step is a regexp/array column expression (whole-stage codegen,
+zero Python, one pass per document — the shape that survives a
+100 TB crawl), and every regex is RE2-compatible (no backreferences,
+no lookarounds) so the DuckDB oracle replays the pipeline exactly.
+
+The `synth_html` wrapper builds a deterministic page (head + nav +
+ad block + article + footer) around a document's text, closed-form
+over (doc_id, text) on both engines — the same counter-block
+convention the multimodal payloads use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BLOCK_SPLIT_RE = r"</(?:p|div|nav|footer|article|section|h[1-6]|li)>"
+TAG_RE = r"<[^>]*>"
+ANCHOR_RE = r"(?s)<a[^>]*>(.*?)</a>"
+
+
+def synth_html(doc_id: Column, text: Column) -> Column:
+    """Deterministic HTML page around a document's text: title + nav
+    (link-dense), an ad block (link-dense), the article body (one long
+    <p> + one short tail <p>), and a footer (link-dense)."""
+    words = F.split(text, " ")
+    tail = F.array_join(F.slice(words, 1, 5), " ")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit(
+            "</title><style>body {margin:0}</style>"
+            '<script>var tracker = "x";</script></head><body>'
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav>'
+            '<div>Buy <a href="/buy">cheap deals now</a> '
+            '<a href="/o">limited offer today</a></div>'
+            "<article><p>"
+        ),
+        text,
+        F.lit("</p><p>Short tail: "),
+        tail,
+        F.lit(
+            '</p></article><footer><a href="/t">Terms of service</a> '
+            '<a href="/p">Privacy policy</a></footer></body></html>'
+        ),
+    )
+
+
+def _visible(block: Column) -> Column:
+    """Block -> collapsed visible text (tags stripped)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(block, TAG_RE, " "), r"\s+", " "
+        )
+    )
+
+
+def _link_text(block: Column) -> Column:
+    """Concatenated collapsed text inside the block's anchors."""
+    return F.trim(
+        F.regexp_replace(
+            F.array_join(
+                F.regexp_extract_all(block, F.lit(ANCHOR_RE), 1), " "
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def extract_main_content(
+    html: Column,
+    min_text_len: int = 25,
+    max_link_density: float = 0.34,
+) -> Column:
+    """Main text of an HTML page as a struct:
+    (main_text, n_blocks_kept, n_blocks_total, boilerplate_chars).
+
+    `boilerplate_chars` counts the visible characters the heuristics
+    DISCARDED — the accounting signal (same "no silent drops"
+    discipline as the dedup caps)."""
+    no_script = F.regexp_replace(
+        html, r"(?s)<script[^>]*>.*?</script>", " "
+    )
+    clean = F.regexp_replace(
+        no_script, r"(?s)<style[^>]*>.*?</style>", " "
+    )
+    blocks = F.split(clean, BLOCK_SPLIT_RE)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _visible(b).alias("t"),
+            F.length(_visible(b)).alias("n"),
+            F.length(_link_text(b)).alias("ln"),
+        ),
+    )
+    keep = F.filter(
+        scored,
+        lambda s: (s["n"] >= min_text_len)
+        & ((s["ln"] / s["n"]) <= max_link_density),
+    )
+    drop = F.filter(
+        scored,
+        lambda s: (s["n"] > 0)
+        & ~(
+            (s["n"] >= min_text_len)
+            & ((s["ln"] / s["n"]) <= max_link_density)
+        ),
+    )
+    return F.struct(
+        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(
+            "main_text"
+        ),
+        F.size(keep).cast("long").alias("n_blocks_kept"),
+        F.size(F.filter(scored, lambda s: s["n"] > 0))
+        .cast("long")
+        .alias("n_blocks_total"),
+        F.aggregate(
+            drop, F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
+        ).alias("boilerplate_chars"),
+    )

@@ -403,3 +403,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM _q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
         GROUP BY p.p_brand
     """)
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube are
+    sugar for: exactly the requested aggregation levels ((status,
+    priority), (status), grand total) in ONE scan + one expand-based
+    aggregate, with grouping() flags disambiguating real NULLs from
+    aggregated-away dimensions."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+    """)

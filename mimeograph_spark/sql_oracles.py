@@ -178,6 +178,76 @@ FROM scored
 """
 
 
+def html_main_content_sql(
+    min_text_len: int = 25, max_link_density: float = 0.34
+) -> str:
+    """Mirrors functions/html_extract: the synthetic page wrapper and
+    the block-split + text/link-density heuristics, replayed with
+    DuckDB's RE2 regexes (every pattern is RE2-safe by design)."""
+    from .functions.html_extract import ANCHOR_RE, BLOCK_SPLIT_RE, TAG_RE
+
+    visible = (
+        "trim(regexp_replace(regexp_replace(b, '{tag}', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    ).format(tag=TAG_RE)
+    # coalesce: DuckDB's regexp_extract_all chain yields NULL (not '')
+    # for anchor-free blocks; Spark's array_join gives '' -> length 0
+    link = (
+        "coalesce(length(trim(regexp_replace(array_to_string("
+        "regexp_extract_all(b, '{anchor}', 1), ' '), '\\s+', ' ', 'g'))), 0)"
+    ).format(anchor=ANCHOR_RE)
+    keep_cond = (
+        f"s.n >= {min_text_len} AND s.ln / s.n <= {max_link_density}"
+    )
+    return f"""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body {{margin:0}}</style>'
+    || '<script>var tracker = "x";</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+    || '<a href="/c">Contact</a></nav>'
+    || '<div>Buy <a href="/buy">cheap deals now</a> '
+    || '<a href="/o">limited offer today</a></div>'
+    || '<article><p>' || text || '</p><p>Short tail: '
+    || array_to_string((string_split(text, ' '))[1:5], ' ')
+    || '</p></article><footer><a href="/t">Terms of service</a> '
+    || '<a href="/p">Privacy policy</a></footer></body></html>' AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS c
+  FROM page
+), blocks AS (
+  SELECT doc_id,
+         regexp_split_to_array(c, '{BLOCK_SPLIT_RE}') AS bl
+  FROM cleaned
+), staged AS (
+  SELECT doc_id,
+         list_transform(bl, b -> {{'t': {visible}, 'ln': {link}}}) AS s1
+  FROM blocks
+), scored AS (
+  SELECT doc_id,
+         list_transform(
+           s1, s -> {{'t': s.t, 'n': length(s.t), 'ln': s.ln}}) AS sc
+  FROM staged
+)
+SELECT doc_id,
+  array_to_string(
+    list_transform(list_filter(sc, s -> {keep_cond}), s -> s.t),
+    ' ') AS main_text,
+  CAST(len(list_filter(sc, s -> {keep_cond})) AS BIGINT)
+    AS n_blocks_kept,
+  CAST(len(list_filter(sc, s -> s.n > 0)) AS BIGINT) AS n_blocks_total,
+  CAST(coalesce(list_sum(list_transform(
+    list_filter(sc, s -> s.n > 0 AND NOT ({keep_cond})),
+    s -> s.n)), 0) AS BIGINT) AS boilerplate_chars
+FROM scored
+"""
+
+
 def curate_documents_sql(
     min_quality: float = 0.6,
     lang: str = "en",
@@ -872,6 +942,17 @@ WHERE p.p_size <= 10
     SELECT 0.2 * avg(l2.l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
 GROUP BY p.p_brand
+""",
+    "grouping_sets_revenue": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY GROUPING SETS (
+    (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+)
 """,
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

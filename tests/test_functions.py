@@ -357,3 +357,29 @@ def test_asof_join_bucketed_matches_plain_on_skewed_keys(spark):
     bucketed = asof_join(L, R, time_bucket="6 hours", **kw).collect()
     key = lambda r: r["event_id"]
     assert sorted(bucketed, key=key) == sorted(plain, key=key)
+
+
+def test_html_boilerplate_stripped_content_kept(spark):
+    """Nav, ad and footer blocks (short and/or link-dense) must be
+    discarded, article prose kept, and every discarded visible char
+    accounted in boilerplate_chars."""
+    from mimeograph_spark.functions.html_extract import (
+        extract_main_content,
+        synth_html,
+    )
+
+    prose = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the long field of data")
+    df = spark.createDataFrame([(7, prose)], "doc_id long, text string")
+    row = df.select(
+        extract_main_content(
+            synth_html(F.col("doc_id"), F.col("text"))
+        ).alias("r")
+    ).select("r.*").collect()[0]
+    assert row["main_text"].startswith(prose)
+    assert "Home" not in row["main_text"]          # nav dropped
+    assert "cheap deals" not in row["main_text"]   # ad dropped
+    assert "Privacy" not in row["main_text"]       # footer dropped
+    assert "tracker" not in row["main_text"]       # script removed
+    assert row["n_blocks_kept"] == 2               # article p1 + tail
+    assert row["boilerplate_chars"] > 0
