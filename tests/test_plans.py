@@ -256,6 +256,44 @@ def test_q17_correlated_subquery_is_decorrelated(spark):
     assert physical.count("HashAggregate") >= 2, physical
 
 
+def test_html_extraction_is_narrow_single_pass(spark):
+    """HTML main-content extraction must be a pure narrow projection:
+    zero exchanges, zero Python — one codegen pass per document."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["html_main_content"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_curation_is_single_shuffle(spark):
+    """The composed curation filter (dedup-canonical + quality + lang
+    + length) must cost exactly ONE exchange — the fingerprint window
+    — with no joins."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["curate_documents"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ivf_topk_plan_shape(spark):
+    """IVF: the centroid set must be BROADCAST to both the assignment
+    and probe cross joins (never a CartesianProduct shuffle), the cell
+    join must be a broadcast hash join on cid, and the final top-k
+    must run as a partial per-partition top-k (WindowGroupLimit)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ann_ivf_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast cross joins
+    assert "BroadcastHashJoin" in plan, plan  # probe-cell equi join
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_binned_range_join_is_hash_join(spark):
     """The range join must plan as an equi hash join on the bin key —
     never a BroadcastNestedLoopJoin / CartesianProduct."""

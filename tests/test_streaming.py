@@ -194,3 +194,53 @@ def test_stateful_final_totals_equal_batch_aggregate(spark, tmp_path):
         # streaming accumulates in arrival order, batch in shuffle
         # order: identical up to FP associativity
         assert abs(last[uid]["total_value"] - b["v"]) < 1e-6
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: the streaming result
+    over two availableNow runs must equal the identical interval join
+    run as one batch query over the accumulated input.  (The watermark
+    + time-bound condition is also what lets Spark expire join state —
+    unbounded state otherwise.)"""
+    from datetime import datetime
+
+    from mimeograph_spark.streaming.stream_join import (
+        purchases_with_recent_views,
+        purchases_with_recent_views_batch,
+    )
+
+    input_dir = str(tmp_path / "sj_in")
+    output_dir = str(tmp_path / "sj_out")
+    ckpt_dir = str(tmp_path / "sj_ckpt")
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    def arrive(rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    # user 1: views at 10:00/10:10, purchase 10:12 (both within 15m)
+    # user 2: view 10:00, purchase 10:20 (outside 15m -> no pair)
+    arrive([(1, 1, "view", ts(0)), (2, 1, "view", ts(10)),
+            (3, 2, "view", ts(0)), (4, 1, "purchase", ts(12))])
+    q = purchases_with_recent_views(spark, input_dir, output_dir, ckpt_dir)
+    q.awaitTermination(120)
+    # second micro-batch: late-ish purchase for user 2 + new view pair
+    arrive([(5, 2, "purchase", ts(20)), (6, 2, "view", ts(18))])
+    q = purchases_with_recent_views(spark, input_dir, output_dir, ckpt_dir)
+    q.awaitTermination(120)
+
+    got = {
+        (r["p_id"], r["v_id"])
+        for r in spark.read.parquet(output_dir).collect()
+    }
+    want = {
+        (r["p_id"], r["v_id"])
+        for r in purchases_with_recent_views_batch(spark, input_dir).collect()
+    }
+    assert got == want
+    assert (4, 1) in got and (4, 2) in got  # both views matched
+    assert (5, 3) not in got                # outside the interval
+    assert (5, 6) in got                    # cross-batch pair found
