@@ -313,7 +313,14 @@ def main() -> None:
             "and a large G1 heap.\n\n"
             f"## Per-query wall times (local[{CPUS}], sf={sf})\n\n"
             "Best of 2 runs per query (first run warms codegen / Python "
-            "workers / caches, same discipline as the headline metric).\n\n"
+            "workers / caches, same discipline as the headline metric). "
+            "NOTE (round-3 methodology change): the timer now covers "
+            "query CONSTRUCTION plus execution — iterative operators "
+            "(dedup_clusters) do real work eagerly while building the "
+            "frame, and operators that persist internals pay their "
+            "cache write inside the timed region on every run — so "
+            "these numbers are uniformly LARGER than round-2 timings "
+            "for the same plans, not regressions.\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
             + "\n## ANN quality\n\nRecall vs exact brute-force top-k "

@@ -306,3 +306,44 @@ def test_binned_range_join_is_hash_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew evidence: a sort-merge join with one hot key must
+    be re-planned by AQE's skew-join optimization (the hot partition
+    split across tasks, marked skew=true in the final plan) — the
+    engine-level complement to the explicit salting the stitch and
+    as-of operators do."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300000).selectExpr(
+            "CAST(0 AS LONG) AS k", "id AS payload"
+        )
+        spread = spark.range(30000).selectExpr(
+            "1 + id % 100 AS k", "id AS payload"
+        )
+        left = hot.unionByName(spread)
+        right = spark.range(101).selectExpr("id AS k", "id * 2 AS rv")
+        # global aggregate, NOT groupBy(k): a downstream groupBy on the
+        # join key would reuse the join's partitioning, and AQE
+        # (correctly) refuses to split skewed partitions when doing so
+        # adds a shuffle — the split only applies where it's free
+        joined = left.join(right, on="k").agg(F.sum("payload").alias("s"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
