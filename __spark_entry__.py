@@ -356,11 +356,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (similarity.ivf_topk): Voronoi cells around a
-    deterministic centroid sample, nprobe nearest cells scored — the
-    high-recall ANN path on weakly-clustered embeddings (recall 0.58
-    at sf0.1 vs 0.38 for radius-2 LSH)."""
+    k-means-refined centroid sample (3 Lloyd rounds), nprobe nearest
+    cells scored — the high-recall ANN path on weakly-clustered
+    embeddings (recall 0.66 at sf0.1 vs 0.38 for radius-2 LSH, at
+    ~20% candidate budget)."""
     return ivf_topk(
-        _read(spark, sf_dir, "embeddings"), k=5, nprobe=8, centroid_step=50
+        _read(spark, sf_dir, "embeddings"),
+        k=5,
+        nprobe=8,
+        centroid_step=50,
+        dim=64,
+        refine_iters=3,
     )
 
 
@@ -518,7 +524,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, n_planes=8, k=5, probe_radius=2
         ),
         "ann_ivf_topk": sql_oracles.ann_ivf_topk_sql(
-            k=5, nprobe=8, centroid_step=50
+            k=5, nprobe=8, centroid_step=50, dim=64, refine_iters=3
         ),
         "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,

@@ -607,22 +607,52 @@ def ann_ivf_topk_sql(
     nprobe: int = 8,
     centroid_step: int = 50,
     modulus: int = 100,
+    dim: int = 64,
+    refine_iters: int = 0,
 ) -> str:
     """Mirrors similarity.ivf_topk: deterministic centroid sample,
-    rounded-cosine argmax cell assignment (ties to the lowest centroid
-    id), nprobe nearest cells per query, exact rerank within probed
-    cells."""
+    optional k-means refinement rounds (per-cell elementwise means
+    rounded to 6 decimals, empty cells keep their centroid),
+    rounded-cosine argmax cell assignment (ties to the lowest
+    centroid id), nprobe nearest cells per query, exact rerank within
+    probed cells."""
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
         "sqrt(list_dot_product({b}, {b}))), 6)"
     )
+    refine_ctes = []
+    for t in range(refine_iters):
+        mean_list = ", ".join(
+            f"round(avg(vec[{i + 1}]), 6)" for i in range(dim)
+        )
+        refine_ctes.append(f"""a_{t} AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT b.vec_id, b.vec, c.cid,
+           {cos.format(a="b.vec", b="c.cvec")} AS sim,
+           row_number() OVER (
+             PARTITION BY b.vec_id ORDER BY
+             {cos.format(a="b.vec", b="c.cvec")} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent_{t} c
+  ) WHERE rn = 1
+), m_{t} AS (
+  SELECT cid, [{mean_list}] AS mvec FROM a_{t} GROUP BY cid
+), cent_{t + 1} AS (
+  SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+  FROM cent_{t} c LEFT JOIN m_{t} m USING (cid)
+)""")
+    refine_sql = (
+        ", " + ", ".join(refine_ctes) if refine_ctes else ""
+    )
+    final_cent = f"cent_{refine_iters}"
     return f"""
-WITH cent AS (
+WITH cent_0 AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings
   WHERE vec_id % {centroid_step} = 1
 ), base AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+){refine_sql}, cent AS (
+  SELECT cid, cvec FROM {final_cent}
 ), assign_scored AS (
   SELECT b.vec_id, b.vec, c.cid,
          {cos.format(a="b.vec", b="c.cvec")} AS sim
