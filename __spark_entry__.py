@@ -253,6 +253,68 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion: a JSON payload column (synthesized
+    closed-form from the flat columns) parsed with an explicit schema
+    via from_json, nested-field extraction, then aggregation.  The
+    oracle aggregates the RAW columns directly, so this checks the
+    whole JSON round-trip (serialize -> parse -> extract) end-to-end
+    against independent ground truth."""
+    docs = _read(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "meta": {"chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "source": "'),
+        F.col("source"),
+        F.lit('"}}'),
+    )
+    parsed = docs.select(
+        F.from_json(
+            js,
+            "id BIGINT, lang STRING, "
+            "meta STRUCT<chars: BIGINT, source: STRING>",
+        ).alias("j")
+    )
+    return parsed.groupBy(F.col("j.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("j.meta.chars").alias("total_chars"),
+        F.max("j.id").alias("max_id"),
+        F.countDistinct("j.meta.source").cast("long").alias("n_sources"),
+    )
+
+
+def q_map_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-user event-type counts packed into a
+    map column (map_from_entries), filtered with map_filter
+    (cnt >= 3), then exploded back to rows alongside the pre-filter
+    map size — exercises the map construction/HOF/explode surface the
+    other queries don't touch."""
+    ev = _read(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    exploded = maps.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.explode(F.map_filter("m", lambda k, v: v >= 3)),
+    )
+    return exploded.select(
+        "user_id",
+        "n_types",
+        F.col("key").alias("event_type"),
+        F.col("value").alias("cnt"),
+    )
+
+
 def q_udaf_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregate (UDAF) via applyInPandas: per-language
     quality percentiles — SURVEY §2.4 UDF/UDAF/UDTF surface."""
@@ -469,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats": q_textstats,
         "html_main_content": q_html_main_content,
         "curate_documents": q_curate_documents,
+        "json_extract": q_json_extract,
+        "map_event_counts": q_map_event_counts,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
         "dedup_exact": q_dedup_exact,
@@ -505,6 +569,8 @@ def oracle_sql() -> dict[str, str]:
         "textstats": sql_oracles.textstats_sql(),
         "html_main_content": sql_oracles.html_main_content_sql(),
         "curate_documents": sql_oracles.curate_documents_sql(),
+        "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
+        "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
         "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,

@@ -248,6 +248,34 @@ FROM scored
 """
 
 
+# Ground truth for the JSON round-trip query: aggregates the RAW
+# columns (no JSON involved), so Spark's serialize->from_json->extract
+# chain is checked against an independent derivation.
+JSON_EXTRACT_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_id,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+# Ground truth for the MapType round-trip: the same counts computed as
+# plain rows (no map), with the pre-filter type count as a window.
+MAP_EVENT_COUNTS_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, n_types, event_type, cnt FROM (
+  SELECT user_id,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+         event_type, cnt
+  FROM per
+) WHERE cnt >= 3
+"""
+
+
 def curate_documents_sql(
     min_quality: float = 0.6,
     lang: str = "en",

@@ -347,3 +347,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_csv_and_json_sources_roundtrip(spark, tmp_path):
+    """Source-format breadth: the same frame written as CSV (header)
+    and JSON-lines and read back with an explicit schema must equal
+    the parquet original — schema-first reads, no inference."""
+    src = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    ).limit(500)
+    schema = src.schema
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+    base = {tuple(r) for r in src.collect()}
+    got_csv = {
+        tuple(r)
+        for r in spark.read.schema(schema)
+        .option("header", True)
+        .csv(csv_dir)
+        .collect()
+    }
+    got_json = {
+        tuple(r) for r in spark.read.schema(schema).json(json_dir).collect()
+    }
+    assert got_csv == base
+    assert got_json == base
