@@ -71,20 +71,14 @@ class CheckpointTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> dict:
-        """Write df as a new snapshot; commit it to the manifest.
-
-        Concurrency contract: the data write is safe for any number of
-        writers (snapshot dirs are uuid-unique), but the manifest
-        read-append-commit is serialized by an O_EXCL lock file —
-        without it, two concurrent appends (e.g. a stream plus a batch
-        backfill sharing a table) could each read the same manifest and
-        the second commit would silently drop the first's snapshot.  A
-        real Iceberg catalog provides this with optimistic commit
-        retries; the lock is the single-filesystem equivalent."""
-        snap_id = f"snap-{uuid.uuid4().hex[:12]}"
-        data_dir = os.path.join(self.path, snap_id)
-        df.write.mode("overwrite").parquet(data_dir)
+    def _acquire_lock(self) -> tuple[int, str]:
+        """Serialize manifest read-modify-commit sections with an
+        O_EXCL lock file.  Crash-safety: a writer killed between lock
+        creation and unlink must not block writers forever — a lock
+        older than lock_stale_after is broken via RENAME to a unique
+        name, which atomically claims the takeover for exactly one
+        contender (a plain unlink could delete a lock another breaker
+        just re-created)."""
         lock_path = os.path.join(self.path, ".manifest.lock")
         deadline = time.time() + 60.0
         while True:
@@ -96,14 +90,8 @@ class CheckpointTable:
                         {"pid": os.getpid(), "ts": time.time()}
                     ).encode(),
                 )
-                break
+                return fd, lock_path
             except FileExistsError:
-                # Crash-safety: a writer killed between lock creation
-                # and unlink must not block appends forever.  A lock
-                # older than lock_stale_after is broken via RENAME to a
-                # unique name — atomically claims the takeover for
-                # exactly one contender (a plain unlink could delete a
-                # lock another breaker just re-created).
                 try:
                     age = time.time() - os.stat(lock_path).st_mtime
                 except FileNotFoundError:
@@ -123,6 +111,27 @@ class CheckpointTable:
                         "does not apply) — investigate the holder"
                     )
                 time.sleep(0.05)
+
+    @staticmethod
+    def _release_lock(fd: int, lock_path: str) -> None:
+        os.close(fd)
+        os.unlink(lock_path)
+
+    def append(self, df: DataFrame, meta: dict | None = None) -> dict:
+        """Write df as a new snapshot; commit it to the manifest.
+
+        Concurrency contract: the data write is safe for any number of
+        writers (snapshot dirs are uuid-unique), but the manifest
+        read-append-commit is serialized by the lock — without it, two
+        concurrent appends (e.g. a stream plus a batch backfill
+        sharing a table) could each read the same manifest and the
+        second commit would silently drop the first's snapshot.  A
+        real Iceberg catalog provides this with optimistic commit
+        retries; the lock is the single-filesystem equivalent."""
+        snap_id = f"snap-{uuid.uuid4().hex[:12]}"
+        data_dir = os.path.join(self.path, snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        fd, lock_path = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             snap = {
@@ -134,8 +143,7 @@ class CheckpointTable:
             manifest["snapshots"].append(snap)
             self._commit_manifest(manifest)
         finally:
-            os.close(fd)
-            os.unlink(lock_path)
+            self._release_lock(fd, lock_path)
         return snap
 
     def _snaps_upto(self, as_of: str | None) -> list[dict]:
@@ -181,6 +189,55 @@ class CheckpointTable:
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
+
+    def compact(self, spark: SparkSession) -> dict | None:
+        """Rewrite all committed snapshots into ONE (Iceberg's
+        rewrite_data_files): a long-running resumable job accumulates
+        one snapshot per increment, and reads degrade as the manifest
+        grows — compaction restores a single-dir layout without
+        changing visible data.
+
+        Crash-safe ordering: the compacted snapshot is fully written
+        BEFORE the manifest swap (a crash in between leaves an orphan
+        dir, invisible to readers, same as any uncommitted append);
+        old snapshot dirs are removed only AFTER the swap commits.
+        Readers never see a partial state.  Returns the new snapshot
+        (None if the table has 0 or 1 snapshots — nothing to do)."""
+        old_snaps = self.snapshots()
+        if len(old_snaps) <= 1:
+            return None
+        df = spark.read.parquet(
+            *[os.path.join(self.path, s["dir"]) for s in old_snaps]
+        )
+        snap_id = f"snap-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.path, snap_id)
+        )
+        snap = {
+            "id": f"snap-000000-{snap_id[5:]}",
+            "dir": snap_id,
+            "committed_at": time.time(),
+            "meta": {"compacted_from": [s["id"] for s in old_snaps]},
+        }
+        fd, lock_path = self._acquire_lock()
+        try:
+            # re-read under the lock: snapshots appended while the
+            # rewrite ran are NOT covered by the compacted file and
+            # must survive the swap, in order, after it
+            compacted_ids = {s["id"] for s in old_snaps}
+            newer = [
+                s
+                for s in self._read_manifest()["snapshots"]
+                if s["id"] not in compacted_ids
+            ]
+            self._commit_manifest({"snapshots": [snap] + newer})
+        finally:
+            self._release_lock(fd, lock_path)
+        for s in old_snaps:
+            shutil.rmtree(
+                os.path.join(self.path, s["dir"]), ignore_errors=True
+            )
+        return snap
 
     def truncate(self) -> None:
         for s in self.snapshots():

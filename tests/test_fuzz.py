@@ -77,3 +77,49 @@ def test_extract_matches_oracle_on_arbitrary_spans(
         assert [s.asDict() for s in row["spans_out"]] == exp["spans_out"], doc_id
         assert row["status"] == exp["status"], doc_id
         assert sorted(row["error_pages"]) == exp["error_pages"], doc_id
+
+
+def _uf_components(pairs):
+    """Pure-python union-find reference: id -> min id of component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1, max_size=60,
+))
+def test_resolve_clusters_matches_union_find(spark, pairs):
+    """resolve_clusters on arbitrary random graphs must equal a
+    pure-python union-find (min-id canonical per component)."""
+    from mimeograph_spark.functions.dedup import resolve_clusters
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in resolve_clusters(df).collect()
+    }
+    assert got == _uf_components(pairs)

@@ -172,3 +172,24 @@ def test_time_travel_and_incremental_read(spark, tmp_path, corpus):
 
     with pytest.raises(KeyError):
         ckpt.read(spark, as_of="snap-nope")
+
+
+def test_compaction_preserves_data_and_time_travel_forward(spark, tmp_path, corpus):
+    """compact() rewrites all snapshots into one without changing
+    visible data; a concurrent-style append AFTER the rewrite input
+    was fixed must survive the manifest swap."""
+    _, docs = corpus
+    ckpt = CheckpointTable(str(tmp_path / "cmp"))
+    for n in (2, 5, 9):
+        ckpt.append(docs.limit(n).select("doc_id"))
+    before = sorted(r["doc_id"] for r in ckpt.read(spark).collect())
+    snap = ckpt.compact(spark)
+    assert snap is not None
+    assert len(ckpt.snapshots()) == 1
+    assert sorted(r["doc_id"] for r in ckpt.read(spark).collect()) == before
+    # appends keep working after compaction, ids restart consistently
+    ckpt.append(docs.limit(1).select("doc_id"))
+    assert ckpt.read(spark).count() == len(before) + 1
+    # nothing to do on an already-compact table with one extra snapshot
+    assert ckpt.compact(spark) is not None  # 2 snapshots -> compacts
+    assert ckpt.compact(spark) is None      # now single -> no-op
