@@ -253,6 +253,24 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + 20% eval subsample
+    (functions/sampling.py): hash-based membership, reproducible on
+    any cluster size / partitioning — unlike seeded RNG sampling,
+    whose output changes with partition layout.  Output: per (split,
+    lang) doc counts, chars, and the subsample count."""
+    from mimeograph_spark.functions.sampling import hash_bucket, with_split
+
+    docs = _read(spark, sf_dir, "documents")
+    split = with_split(docs, id_col="doc_id")
+    sampled = hash_bucket(F.col("doc_id"), "sample") < 2000
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(sampled.cast("long")).alias("n_sampled"),
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion: a JSON payload column (synthesized
     closed-form from the flat columns) parsed with an explicit schema
@@ -533,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "json_extract": q_json_extract,
         "map_event_counts": q_map_event_counts,
+        "train_split": q_train_split,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
         "dedup_exact": q_dedup_exact,
@@ -571,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents": sql_oracles.curate_documents_sql(),
         "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
         "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,
+        "train_split": sql_oracles.train_split_sql(),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
         "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,

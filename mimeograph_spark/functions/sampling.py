@@ -1,0 +1,82 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines sample and split constantly (held-out eval
+sets, ablation subsets, decontamination spot-checks).  Spark's
+`df.sample`/`sampleBy` seed their RNG per partition, so results
+change with partition layout — rerunning on a different cluster size
+silently yields a different sample.  The scale-correct form is
+HASH-based: membership is a pure function of the row's id, so the
+sample is reproducible on any cluster, any partitioning, any engine
+(the DuckDB oracle replays it exactly), and a document's split
+assignment never flips between runs — the property that keeps eval
+sets honest.
+
+Everything is md5 arithmetic on built-in columns (codegen, no RNG, no
+shuffle — sampling is a pure filter, splitting a pure projection).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10000
+
+
+def hash_bucket(
+    id_col: Column, salt: str = "split", n_buckets: int = N_BUCKETS
+) -> Column:
+    """Uniform bucket in [0, n_buckets) from md5(salt:id) — the same
+    construction the MinHash/SimHash stages use, shared with DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % n_buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep ~`rate` of rows, membership a pure function of the id."""
+    return df.filter(
+        hash_bucket(F.col(id_col), salt) < int(rate * N_BUCKETS)
+    )
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column assigning each row to one of `names` with
+    the given weights — stable across runs, partitionings and engines
+    (hash thresholds, not RNG)."""
+    assert len(weights) == len(names)
+    bucket = hash_bucket(F.col(id_col), salt)
+    bounds, acc = [], 0.0
+    for w in weights:
+        acc += w
+        bounds.append(int(round(acc * N_BUCKETS)))
+    expr = None
+    for name, hi in zip(names[:-1], bounds[:-1]):
+        cond = bucket < hi
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -248,6 +248,43 @@ FROM scored
 """
 
 
+def train_split_sql(
+    weights: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+    n_buckets: int = 10000,
+    sample_buckets: int = 2000,
+) -> str:
+    """Mirrors functions/sampling.with_split + deterministic_sample:
+    md5(salt:id) bucket arithmetic, hash thresholds — reproducible on
+    any engine, which is the whole point of hash-based splitting."""
+    bounds, acc = [], 0.0
+    for w in weights:
+        acc += w
+        bounds.append(int(round(acc * n_buckets)))
+    case = "CASE "
+    for name, hi in zip(names[:-1], bounds[:-1]):
+        case += f"WHEN b < {hi} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END"
+    bucket = (
+        "('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {n_buckets}"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         {bucket.format(salt="split")} AS b,
+         {bucket.format(salt="sample")} AS sb
+  FROM documents
+)
+SELECT {case} AS split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN sb < {sample_buckets} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled
+FROM b GROUP BY 1, 2
+"""
+
+
 # Ground truth for the JSON round-trip query: aggregates the RAW
 # columns (no JSON involved), so Spark's serialize->from_json->extract
 # chain is checked against an independent derivation.

@@ -383,3 +383,27 @@ def test_html_boilerplate_stripped_content_kept(spark):
     assert "tracker" not in row["main_text"]       # script removed
     assert row["n_blocks_kept"] == 2               # article p1 + tail
     assert row["boilerplate_chars"] > 0
+
+
+def test_split_assignment_stable_across_partitioning(spark):
+    """Hash-based split membership must be identical under any
+    repartitioning (the property seeded-RNG sample() lacks), and the
+    split fractions must land near the requested weights."""
+    from mimeograph_spark.functions.sampling import with_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs).select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs.repartition(17))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert set(a.values()) == {"train", "val", "test"}
