@@ -31,6 +31,7 @@ from mimeograph_spark import sql_oracles
 from mimeograph_spark.corpus import derive_documents
 from mimeograph_spark.cacheutil import unpersist_deps
 from mimeograph_spark.functions.dedup import (
+    decontaminate,
     exact_duplicates,
     lsh_candidate_pairs,
     resolve_clusters,
@@ -251,6 +252,17 @@ def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang_pred", "quality", "n_tokens")
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): train docs
+    sharing any distinct 5-gram with the pseudo-eval partition
+    (doc_id % 50 == 0).  Eval gram set is broadcast; the corpus
+    streams once — the only shuffle is the per-doc match count."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, ev, n=5)
 
 
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "map_event_counts": q_map_event_counts,
         "train_split": q_train_split,
+        "decontaminate": q_decontaminate,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
         "dedup_exact": q_dedup_exact,
@@ -591,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
         "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,
         "train_split": sql_oracles.train_split_sql(),
+        "decontaminate": sql_oracles.decontaminate_sql(n=5),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
         "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,

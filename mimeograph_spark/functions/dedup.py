@@ -364,6 +364,51 @@ def resolve_clusters(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least `min_matches` distinct word n-grams with ANY document in the
+    eval set (the n-gram overlap check production pretraining corpora
+    run against held-out benchmarks; 13-grams at full scale — `n` is a
+    parameter because the sandbox fixtures are short).
+
+    Plan shape: the eval side collapses to its DISTINCT n-gram hash
+    set (tiny — benchmarks are a few MB even when the corpus is
+    100 TB) and is BROADCAST; the train side explodes to (id, hash)
+    pairs and inner-joins the broadcast set, so the corpus streams
+    once with no shuffle for the join — the only exchange is the final
+    per-doc count aggregation.  Returns (doc_id, n_matched_ngrams) for
+    contaminated docs only; anti-join the result against the corpus to
+    drop them."""
+    eval_grams = F.broadcast(
+        eval_set.select(
+            F.explode(
+                F.transform(shingles(F.col(text_col), n), shingle_hash)
+            ).alias("_g")
+        ).distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), shingle_hash)
+            )
+        ).alias("_g"),
+    )
+    return (
+        train_grams.join(eval_grams, on="_g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_ngrams"))
+        .filter(F.col("n_matched_ngrams") >= min_matches)
+    )
+
+
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity between two texts."""
     a, b = shingles(text_a, n), shingles(text_b, n)

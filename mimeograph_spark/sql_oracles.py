@@ -355,12 +355,47 @@ FROM fp GROUP BY fingerprint HAVING count(*) > 1
 """
 
 
-_SHINGLES = (
-    "CASE WHEN len(ntoks) >= 3 THEN "
-    "list_distinct(list_transform(generate_series(1, len(ntoks) - 2), "
-    "i -> array_to_string(ntoks[i:i+2], ' '))) "
-    "ELSE [array_to_string(ntoks, ' ')] END"
+def _shingles_sql(n: int = 3) -> str:
+    """Distinct word n-gram shingles of a pre-split `ntoks` list,
+    mirroring dedup.shingles (short texts yield one whole-text gram)."""
+    return (
+        f"CASE WHEN len(ntoks) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(ntoks) - {n - 1}), "
+        f"i -> array_to_string(ntoks[i:i+{n - 1}], ' '))) "
+        "ELSE [array_to_string(ntoks, ' ')] END"
+    )
+
+
+_SHINGLES = _shingles_sql(3)
+
+
+def decontaminate_sql(
+    n: int = 5, modulus: int = 50, min_matches: int = 1
+) -> str:
+    """Mirrors dedup.decontaminate: distinct n-gram hash overlap
+    between the train partition and the eval partition of documents."""
+    g = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+    return f"""
+WITH ev_toks AS (
+  SELECT regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} = 0
+), evg AS (
+  SELECT DISTINCT unnest(list_transform({_shingles_sql(n)},
+         s -> {g})) AS _g
+  FROM ev_toks
+), tr_toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} != 0
+), tg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({_shingles_sql(n)},
+           s -> {g}))) AS _g
+  FROM tr_toks
 )
+SELECT doc_id, count(*) AS n_matched_ngrams
+FROM tg JOIN evg USING (_g)
+GROUP BY doc_id HAVING count(*) >= {min_matches}
+"""
 
 
 def _minhash_terms(k: int) -> list[str]:

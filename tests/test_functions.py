@@ -407,3 +407,25 @@ def test_split_assignment_stable_across_partitioning(spark):
     frac_train = sum(1 for s in a.values() if s == "train") / n
     assert 0.7 < frac_train < 0.9
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding a verbatim eval passage must be flagged
+    with the right distinct-5-gram match count; clean docs must not."""
+    from mimeograph_spark.functions.dedup import decontaminate
+
+    passage = "the secret benchmark question about spark internals"
+    ev = spark.createDataFrame(
+        [(100, passage)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "prefix words here " + passage + " and a suffix"),
+         (2, "totally unrelated content with no overlap at all whatsoever")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matched_ngrams"]
+        for r in decontaminate(train, ev, n=5).collect()
+    }
+    # passage has 7 words -> 3 distinct 5-grams, all present in doc 1
+    assert got == {1: 3}
