@@ -373,3 +373,15 @@ def test_csv_and_json_sources_roundtrip(spark, tmp_path):
     }
     assert got_csv == base
     assert got_json == base
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set gram table must be BROADCAST into the overlap
+    join (benchmarks are tiny; the 100 TB train side must stream once
+    with no join shuffle)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["decontaminate"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
