@@ -283,6 +283,69 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (functions/packing.py): documents laid out
+    into 2048-token training sequences across 16 hash shards —
+    concat-with-separator then chop, the standard pretraining layout.
+    Per-doc (shard, seq_id, begin_offset, n_seqs), a pure function of
+    ids + token counts: no global window (one task per shard, shards
+    scale with the corpus), no RNG, identical on any cluster size."""
+    from mimeograph_spark.functions.packing import pack_sequences
+    from mimeograph_spark.functions.textstats import token_count
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")))
+    packed = pack_sequences(docs, budget=2048, n_shards=16)
+    return packed.select(
+        "doc_id", "shard", "seq_id", "begin_offset", "n_seqs"
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (functions/repetition.py) — the
+    Gopher-rule family: unique-token fraction (pure array codegen, no
+    shuffle), top word-bigram with deterministic tie-break, duplicate
+    bigram/trigram occurrence fractions.  Bigrams and trigrams are
+    tagged and unioned before ONE (doc, kind, gram) aggregation."""
+    from mimeograph_spark.functions.repetition import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language balanced downsampling
+    (sampling.stratified_sample): keep ~50 docs per language via a
+    per-group hash threshold — a broadcast count aggregate plus a
+    pure per-row filter, fully parallel (the exact-cap window form
+    would serialize each language through one task at 100 TB).
+    Output: per-lang totals and kept counts."""
+    from mimeograph_spark.functions.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", cap=50)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(k, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row index (functions/ids.py): rank of doc_id as
+    contiguous 0..n-1 via two-phase range-bucket ranking — the only
+    single-partition window runs over the 256-row bucket-count frame,
+    never the data (a bare row_number() OVER (ORDER BY ...) would
+    collapse 100 TB into one task).  The oracle IS that naive global
+    window, which DuckDB can afford at sf0.01."""
+    from mimeograph_spark.functions.ids import with_global_index
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return with_global_index(docs, "doc_id").select("doc_id", "global_idx")
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured ingestion: a JSON payload column (synthesized
     closed-form from the flat columns) parsed with an explicit schema
@@ -545,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_suppliers": relational.q5_local_suppliers,
         "q17_small_quantity": relational.q17_small_quantity_revenue,
+        "q20_excess_shippers": relational.q20_excess_shippers,
+        "q22_dormant_customers": relational.q22_dormant_customers,
         "window_topn": relational.window_top_orders_per_customer,
         "window_analytics": relational.window_analytics,
         "rollup_status_month": relational.rollup_orders_by_status_month,
@@ -564,6 +629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "map_event_counts": q_map_event_counts,
         "train_split": q_train_split,
+        "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
+        "global_index": q_global_index,
+        "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
@@ -604,6 +673,10 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
         "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,
         "train_split": sql_oracles.train_split_sql(),
+        "repetition_stats": sql_oracles.repetition_stats_sql(),
+        "pack_sequences": sql_oracles.pack_sequences_sql(),
+        "global_index": sql_oracles.GLOBAL_INDEX_ORACLE,
+        "stratified_sample": sql_oracles.stratified_sample_sql(cap=50),
         "decontaminate": sql_oracles.decontaminate_sql(n=5),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),

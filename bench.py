@@ -159,7 +159,9 @@ HEADLINE_QUERIES = (
     "lsh_near_dup_pairs", "dedup_clusters", "simhash_near_dups",
     "udaf_quality_percentiles", "ann_cosine_topk", "ann_ivf_topk",
     "asof_join_events", "range_join_price_bands", "hypertable_rollup",
-    "train_split", "decontaminate",
+    "train_split", "decontaminate", "pack_sequences",
+    "repetition_stats", "stratified_sample", "global_index",
+    "q20_excess_shippers", "q22_dormant_customers",
 )
 
 

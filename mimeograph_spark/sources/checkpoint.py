@@ -171,7 +171,9 @@ class CheckpointTable:
         ]
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        # mergeSchema: snapshots written after an add-column evolve
+        # the table schema; older rows surface NULL for new columns.
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read_since(
         self, spark: SparkSession, snapshot_id: str
@@ -188,7 +190,114 @@ class CheckpointTable:
         ]
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    # -- row-level changes (merge-on-read) ----------------------------
+
+    def upsert(
+        self, df: DataFrame, key: str, meta: dict | None = None
+    ) -> dict:
+        """MERGE INTO semantics, merge-on-read flavor: commit `df` as
+        a delta snapshot; rows whose `key` already exists in the table
+        logically replace the old version, new keys insert.
+
+        The write is O(delta) — no rewrite of existing data, which is
+        what makes continuous upserts viable at 10^12 rows (Iceberg's
+        copy-on-write MERGE rewrites every touched file; its
+        merge-on-read equivalent writes exactly this kind of delta +
+        resolves on read).  Resolution happens in
+        :meth:`read_current`; :meth:`compact_current` folds the deltas
+        back into one materialized snapshot when read cost matters
+        more than write cost."""
+        return self.append(df, meta={**(meta or {}), "upsert_key": key})
+
+    def delete_keys(
+        self, keys_df: DataFrame, key: str, meta: dict | None = None
+    ) -> dict:
+        """Row-level delete: commit tombstones for the given keys
+        (one-column frame).  O(delta), resolved at read time —
+        Iceberg's equality-delete file contract."""
+        tomb = keys_df.select(key).distinct().withColumn(
+            "_tombstone", F.lit(True)
+        )
+        return self.append(
+            tomb, meta={**(meta or {}), "upsert_key": key, "delete": True}
+        )
+
+    def read_current(
+        self, spark: SparkSession, key: str, as_of: str | None = None
+    ) -> DataFrame | None:
+        """Resolved view: exactly one row per key — the latest
+        committed version — with tombstoned keys removed and schema
+        evolution applied (columns added by later snapshots read as
+        NULL in older rows; unionByName(allowMissingColumns) is the
+        read-side half of Iceberg's add-column contract).
+
+        The resolution is one window over the key (latest snapshot
+        sequence wins); at scale this is the standard merge-on-read
+        cost and is bounded by compacting (:meth:`compact_current`)."""
+        from pyspark.sql import Window
+
+        snaps = self._snaps_upto(as_of)
+        if not snaps:
+            return None
+        parts = []
+        for seq, s in enumerate(snaps):
+            d = spark.read.parquet(os.path.join(self.path, s["dir"]))
+            if "_tombstone" not in d.columns:
+                d = d.withColumn("_tombstone", F.lit(False))
+            parts.append(d.withColumn("_seq", F.lit(seq)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy(key).orderBy(F.col("_seq").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & ~F.coalesce("_tombstone", F.lit(False)))
+            .drop("_rn", "_seq", "_tombstone")
+        )
+
+    def compact_current(self, spark: SparkSession, key: str) -> dict | None:
+        """Materialize the resolved (post-merge) view into ONE
+        snapshot and swap it in — the merge-on-read counterpart of
+        compact(): read cost returns to a plain scan, at the price of
+        rewriting live data once and folding away per-row history
+        older than the compaction (exactly what Iceberg's
+        rewrite_data_files + rewrite_position_delete_files pair
+        does)."""
+        old_snaps = self.snapshots()
+        if len(old_snaps) <= 1:
+            return None
+        resolved = self.read_current(spark, key)
+        snap_id = f"snap-{uuid.uuid4().hex[:12]}"
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(self.path, snap_id)
+        )
+        snap = {
+            "id": f"snap-000000-{snap_id[5:]}",
+            "dir": snap_id,
+            "committed_at": time.time(),
+            "meta": {
+                "compacted_from": [s["id"] for s in old_snaps],
+                "resolved_key": key,
+            },
+        }
+        fd, lock_path = self._acquire_lock()
+        try:
+            compacted_ids = {s["id"] for s in old_snaps}
+            newer = [
+                s
+                for s in self._read_manifest()["snapshots"]
+                if s["id"] not in compacted_ids
+            ]
+            self._commit_manifest({"snapshots": [snap] + newer})
+        finally:
+            self._release_lock(fd, lock_path)
+        for s in old_snaps:
+            shutil.rmtree(
+                os.path.join(self.path, s["dir"]), ignore_errors=True
+            )
+        return snap
 
     def compact(self, spark: SparkSession) -> dict | None:
         """Rewrite all committed snapshots into ONE (Iceberg's
@@ -206,7 +315,7 @@ class CheckpointTable:
         old_snaps = self.snapshots()
         if len(old_snaps) <= 1:
             return None
-        df = spark.read.parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, s["dir"]) for s in old_snaps]
         )
         snap_id = f"snap-{uuid.uuid4().hex[:12]}"

@@ -285,6 +285,128 @@ FROM b GROUP BY 1, 2
 """
 
 
+def pack_sequences_sql(
+    budget: int = 2048, n_shards: int = 16, sep_tokens: int = 1
+) -> str:
+    """Mirrors functions/packing.pack_sequences: md5 shard bucket,
+    per-shard running token sum (doc_id order), chop every `budget`
+    tokens.  Pure window arithmetic — replays the layout exactly."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END + {sep_tokens} AS BIGINT) AS t,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % {n_shards} AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, t,
+         CAST(COALESCE(sum(t) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cb
+  FROM toks
+)
+SELECT doc_id, shard,
+       cb // {budget} AS seq_id,
+       cb % {budget} AS begin_offset,
+       ((cb + t - 1) // {budget}) - (cb // {budget}) + 1 AS n_seqs
+FROM cum
+"""
+
+
+def repetition_stats_sql() -> str:
+    """Mirrors functions/repetition.repetition_stats: word bigram /
+    trigram repetition fractions with the same deterministic top-gram
+    tie-break (count desc, gram desc)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS tk
+  FROM documents
+), toks AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+         list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1]) AS bi,
+         list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri
+  FROM base
+), grams AS (
+  SELECT doc_id, 'bi' AS kind, unnest(bi) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 'tri' AS kind, unnest(tri) AS gram FROM toks
+), counts AS (
+  SELECT doc_id, kind, gram, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, kind ORDER BY cnt DESC, gram DESC) AS rn
+  FROM counts
+), per_kind AS (
+  SELECT doc_id, kind, sum(cnt) AS total,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+  FROM counts GROUP BY 1, 2
+), kind_frac AS (
+  SELECT doc_id,
+         round(coalesce(max(CASE WHEN kind = 'bi'
+                   THEN dup_occ * 1.0 / total END), 0), 6) AS dup_bigram_frac,
+         round(coalesce(max(CASE WHEN kind = 'tri'
+                   THEN dup_occ * 1.0 / total END), 0), 6) AS dup_trigram_frac,
+         CAST(coalesce(max(CASE WHEN kind = 'bi' THEN total END), 0)
+              AS BIGINT) AS bi_total
+  FROM per_kind GROUP BY 1
+), top_bi AS (
+  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_count
+  FROM ranked WHERE kind = 'bi' AND rn = 1
+), doc_stats AS (
+  SELECT doc_id, n AS n_tokens,
+         round(CASE WHEN n > 0
+               THEN len(list_distinct(tk)) * 1.0 / n
+               ELSE 0.0 END, 6) AS uniq_token_frac
+  FROM toks
+)
+SELECT d.doc_id, d.n_tokens, d.uniq_token_frac,
+       coalesce(top_bigram, '') AS top_bigram,
+       CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       round(CASE WHEN bi_total > 0
+             THEN coalesce(top_bigram_count, 0) * 1.0 / bi_total
+             ELSE 0.0 END, 6) AS top_bigram_frac,
+       coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM doc_stats d
+LEFT JOIN kind_frac USING (doc_id)
+LEFT JOIN top_bi USING (doc_id)
+"""
+
+
+def stratified_sample_sql(cap: int = 50, n_buckets: int = 10000) -> str:
+    """Mirrors functions/sampling.stratified_sample: per-group hash
+    threshold floor(cap*N/n_g) with the 'strat:' md5 bucket."""
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+k AS (
+  SELECT d.lang, count(*) AS kept
+  FROM documents d JOIN c USING (lang)
+  WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT % {n_buckets}
+        < least({n_buckets}, (CAST({cap} AS BIGINT) * {n_buckets}) // n)
+  GROUP BY 1
+)
+SELECT c.lang, CAST(c.n AS BIGINT) AS n_docs,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS n_kept
+FROM c LEFT JOIN k USING (lang)
+"""
+
+
+GLOBAL_INDEX_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+         AS global_idx
+FROM documents
+"""
+
+
 # Ground truth for the JSON round-trip query: aggregates the RAW
 # columns (no JSON involved), so Spark's serialize->from_json->extract
 # chain is checked against an independent derivation.
@@ -1072,6 +1194,32 @@ WHERE p.p_size <= 10
     SELECT 0.2 * avg(l2.l_quantity)
     FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
 GROUP BY p.p_brand
+""",
+    "q20_excess_shippers": """
+SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 4) AS acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 0.15 * (
+    SELECT sum(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+)
+""",
+    "q22_dormant_customers": """
+SELECT c.c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS total_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
 """,
     "grouping_sets_revenue": """
 SELECT o_orderstatus, o_orderpriority,

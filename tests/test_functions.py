@@ -429,3 +429,149 @@ def test_decontaminate_flags_planted_overlap(spark):
     }
     # passage has 7 words -> 3 distinct 5-grams, all present in doc 1
     assert got == {1: 3}
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """The packed layout must be a dense token stream per shard:
+    each doc begins exactly where the previous one (plus separator)
+    ended, offsets never reach the budget, span counts match the
+    arithmetic, and the layout is identical under any repartitioning
+    (pure function of ids + token counts)."""
+    from mimeograph_spark.functions.packing import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    budget, sep = 128, 1
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 300 + 1) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    packed = pack_sequences(
+        docs, budget=budget, n_shards=4, sep_tokens=sep
+    ).collect()
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"])):
+        cum = by_shard.get(r["shard"], 0)
+        assert r["seq_id"] == cum // budget
+        assert r["begin_offset"] == cum % budget
+        assert 0 <= r["begin_offset"] < budget
+        end = cum + r["n_tokens"] + sep - 1
+        assert r["n_seqs"] == end // budget - cum // budget + 1
+        by_shard[r["shard"]] = cum + r["n_tokens"] + sep
+    assert len(by_shard) == 4
+
+    again = pack_sequences(
+        docs.repartition(13), budget=budget, n_shards=4, sep_tokens=sep
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(again) == key(packed)
+
+    man = sequence_manifest(
+        pack_sequences(docs, budget=budget, n_shards=4, sep_tokens=sep),
+        budget=budget,
+    ).collect()
+    assert sum(r["n_docs_started"] for r in man) == 200
+    for r in man:
+        assert 0 <= r["first_offset"] < budget
+
+
+def test_repetition_stats_closed_form(spark):
+    """Hand-computed repetition signals: a repeated-bigram doc, an
+    all-unique doc, and an empty doc."""
+    from mimeograph_spark.functions.repetition import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "w x y z"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert abs(r1["uniq_token_frac"] - round(2 / 6, 6)) < 1e-9
+    # bigrams: [a b, b a, a b, b a, a b] -> top "a b" x3, all duplicated
+    assert r1["top_bigram"] == "a b"
+    assert r1["top_bigram_count"] == 3
+    assert abs(r1["top_bigram_frac"] - 0.6) < 1e-9
+    assert r1["dup_bigram_frac"] == 1.0
+    # trigrams: [a b a, b a b, a b a, b a b] -> all duplicated
+    assert r1["dup_trigram_frac"] == 1.0
+
+    r2 = rows[2]
+    assert r2["uniq_token_frac"] == 1.0
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["dup_trigram_frac"] == 0.0
+    assert r2["top_bigram_count"] == 1
+    assert abs(r2["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+    # tie on count=1 -> lexicographically greatest bigram wins
+    assert r2["top_bigram"] == "y z"
+
+    r3 = rows[3]
+    assert r3["n_tokens"] == 0
+    assert r3["top_bigram"] == ""
+    assert r3["top_bigram_count"] == 0
+    assert r3["uniq_token_frac"] == 0.0
+
+
+def test_global_index_dense_ordered_and_partition_stable(spark):
+    """with_global_index must yield exactly 0..n-1 ranked by the key,
+    identical under any repartitioning, including skewed/sparse key
+    spaces that leave most range buckets empty."""
+    from mimeograph_spark.functions.ids import with_global_index
+
+    # sparse + clustered keys: 0..49 and 1_000_000..1_000_049
+    keys = list(range(50)) + [1_000_000 + i for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["global_idx"]
+        for r in with_global_index(df, "k", n_buckets=16).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+    again = {
+        r["k"]: r["global_idx"]
+        for r in with_global_index(
+            df.repartition(7), "k", n_buckets=16
+        ).collect()
+    }
+    assert again == want
+
+    empty = spark.createDataFrame([], "k long")
+    assert with_global_index(empty, "k").count() == 0
+
+
+def test_stratified_sampling_exact_and_threshold(spark):
+    """Exact variant keeps exactly min(cap, n_g) per group; threshold
+    variant is deterministic across partitionings and lands near the
+    cap; both keep subsets of the input."""
+    from mimeograph_spark.functions.sampling import (
+        stratified_sample,
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(430)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    exact = stratified_sample_exact(df, "lang", cap=100)
+    by_g = {
+        r["lang"]: r["n"]
+        for r in exact.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_g == {"big": 100, "small": 30}
+
+    thr = stratified_sample(df, "lang", cap=100)
+    kept = sorted(r["doc_id"] for r in thr.collect())
+    again = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(11), "lang", cap=100).collect()
+    )
+    assert kept == again
+    n_big = sum(1 for i in kept if i < 400)
+    assert 60 <= n_big <= 140  # ~cap with binomial noise
+    assert sum(1 for i in kept if i >= 400) == 30  # threshold 10000: all kept

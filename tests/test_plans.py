@@ -385,3 +385,56 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q20_nested_subqueries_are_decorrelated(spark):
+    """Both levels of q20 — the IN-subquery and the correlated
+    per-part total inside its HAVING — must be rewritten to joins
+    (left-semi + aggregate-join): no Subquery node may survive into
+    the executed plan."""
+    df = relational.q20_excess_shippers(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in physical, physical
+    assert "LeftSemi" in physical, physical
+    assert physical.count("HashAggregate") >= 2, physical
+
+
+def test_q22_scalar_subquery_and_anti_join(spark):
+    """q22's NOT EXISTS must execute as a left-anti join, never a
+    per-customer probe; the scalar average is a one-row subquery,
+    which is the one legitimate Subquery shape (it runs once, not
+    per row)."""
+    df = relational.q22_dormant_customers(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in physical, physical
+
+
+def test_global_index_never_globally_sorts_the_data(spark):
+    """with_global_index exists to avoid the single-partition global
+    window.  The data path must contain no global Sort/Exchange
+    (SinglePartition) over the input; the only single-partition work
+    allowed is the n_buckets-row offset frame."""
+    from mimeograph_spark.functions.ids import with_global_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    df = with_global_index(docs, "doc_id")
+    jplan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node, out):
+        out.append(node)
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), out)
+        return out
+
+    offenders = []
+    for node in walk(jplan, []):
+        s = node.simpleString(200)
+        if "Exchange" in node.nodeName() and "SinglePartition" in s:
+            # allowed only for the offsets frame, whose subtree
+            # aggregates counts (_gi_n) — never the raw data rows
+            if "_gi_n" not in node.toString():
+                offenders.append(s)
+    assert not offenders, offenders
+    physical = jplan.toString()
+    assert "hashpartitioning(_gi_bucket" in physical, physical

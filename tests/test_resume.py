@@ -193,3 +193,63 @@ def test_compaction_preserves_data_and_time_travel_forward(spark, tmp_path, corp
     # nothing to do on an already-compact table with one extra snapshot
     assert ckpt.compact(spark) is not None  # 2 snapshots -> compacts
     assert ckpt.compact(spark) is None      # now single -> no-op
+
+
+def test_upsert_delete_and_resolved_read(spark, tmp_path):
+    """Merge-on-read row-level changes: upserts replace by key,
+    tombstones delete, read_current resolves to exactly one latest
+    row per key, raw read/time-travel still expose history, and
+    compact_current folds deltas into one snapshot without changing
+    the resolved view."""
+    import pyspark.sql.functions as F
+
+    from mimeograph_spark.sources.checkpoint import CheckpointTable
+
+    ckpt = CheckpointTable(str(tmp_path / "mor"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    s0 = ckpt.append(base)
+
+    ckpt.upsert(
+        spark.createDataFrame([(2, "b2", 21), (4, "d", 40)], "k long, s string, v long"),
+        key="k",
+    )
+    ckpt.delete_keys(spark.createDataFrame([(3,)], "k long"), key="k")
+
+    cur = {r["k"]: (r["s"], r["v"]) for r in ckpt.read_current(spark, "k").collect()}
+    assert cur == {1: ("a", 10), 2: ("b2", 21), 4: ("d", 40)}
+
+    # raw read keeps history; time travel to the base snapshot
+    assert ckpt.read(spark).filter(F.col("k") == 2).count() == 2
+    old = {r["k"]: r["v"] for r in ckpt.read_current(spark, "k", as_of=s0["id"]).collect()}
+    assert old == {1: 10, 2: 20, 3: 30}
+
+    snap = ckpt.compact_current(spark, "k")
+    assert snap is not None and len(ckpt.snapshots()) == 1
+    cur2 = {r["k"]: (r["s"], r["v"]) for r in ckpt.read_current(spark, "k").collect()}
+    assert cur2 == cur
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A later snapshot may add a column; reads merge schemas and old
+    rows surface NULL (the Iceberg add-column contract), for raw,
+    incremental, and resolved reads alike."""
+    from mimeograph_spark.sources.checkpoint import CheckpointTable
+
+    ckpt = CheckpointTable(str(tmp_path / "evo"))
+    s0 = ckpt.append(spark.createDataFrame([(1, "a")], "k long, s string"))
+    ckpt.append(
+        spark.createDataFrame([(2, "b", "en")], "k long, s string, lang string")
+    )
+
+    raw = ckpt.read(spark)
+    assert set(raw.columns) == {"k", "s", "lang"}
+    got = {r["k"]: r["lang"] for r in raw.collect()}
+    assert got == {1: None, 2: "en"}
+
+    inc = ckpt.read_since(spark, s0["id"])
+    assert {r["k"] for r in inc.collect()} == {2}
+
+    cur = {r["k"]: r["lang"] for r in ckpt.read_current(spark, "k").collect()}
+    assert cur == {1: None, 2: "en"}
