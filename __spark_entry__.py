@@ -259,9 +259,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any distinct 5-gram with the pseudo-eval partition
     (doc_id % 50 == 0).  Eval gram set is broadcast; the corpus
     streams once — the only shuffle is the per-doc match count."""
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
+
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
-    train = docs.filter(F.col("doc_id") % 50 != 0)
+    # the gram/md5 stage is CPU-bound; a single small input split
+    # would otherwise run it on one core (no-op at real split counts)
+    train = ensure_compute_parallelism(
+        docs.filter(F.col("doc_id") % 50 != 0)
+    )
     return decontaminate(train, ev, n=5)
 
 
@@ -330,6 +336,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/tfidf.py):
+    (doc,term) and term aggregations with map-side partials, the
+    vocabulary-sized df table joined back (AQE broadcasts it), smooth
+    IDF, deterministic (score desc, term asc) ranking."""
+    from mimeograph_spark.functions.tfidf import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles
+    (functions/quantiles.py): rank-arithmetic percentile_cont over a
+    partitioned disk-spilling sort — NOT Spark's percentile()
+    aggregate, which buffers each group in memory and dies first at
+    100 TB.  The oracle is DuckDB's native quantile_cont."""
+    from mimeograph_spark.functions.quantiles import exact_percentiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_percentiles(docs, "n_chars", "lang")
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values (sources/zorder.py) of (doc_id, n_chars) —
+    the key behind the multi-dimensional file layout
+    (write_zordered); pure shift/and codegen, bit-identical across
+    engines.  The layout's pruning effect is pinned separately by
+    tests/test_plans.py over real parquet footers."""
+    from mimeograph_spark.sources.zorder import zvalue
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        zvalue(F.col("doc_id"), F.col("n_chars"), bits=16)
+        .cast("long")
+        .alias("z"),
     )
 
 
@@ -441,7 +487,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
+
+    docs = ensure_compute_parallelism(_read(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(docs, k=16, bands=4)
 
 
@@ -451,7 +499,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (dedup.resolve_clusters) — the keep-one-per-cluster
     deliverable fuzzy dedup was missing.  Verified against a DuckDB
     recursive-CTE transitive closure."""
-    docs = _read(spark, sf_dir, "documents")
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
+
+    docs = ensure_compute_parallelism(_read(spark, sf_dir, "documents"))
     pairs = lsh_candidate_pairs(docs, k=16, bands=4).filter(
         F.col("jaccard") >= 0.8
     )
@@ -633,6 +683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "global_index": q_global_index,
         "stratified_sample": q_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "length_percentiles": q_length_percentiles,
+        "zorder_values": q_zorder_values,
         "decontaminate": q_decontaminate,
         "udaf_quality_percentiles": q_udaf_quality_percentiles,
         "udtf_token_chunks": q_udtf_token_chunks,
@@ -677,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": sql_oracles.pack_sequences_sql(),
         "global_index": sql_oracles.GLOBAL_INDEX_ORACLE,
         "stratified_sample": sql_oracles.stratified_sample_sql(cap=50),
+        "tfidf_top_terms": sql_oracles.tfidf_top_terms_sql(k=3),
+        "length_percentiles": sql_oracles.LENGTH_PERCENTILES_ORACLE,
+        "zorder_values": sql_oracles.zorder_values_sql(bits=16),
         "decontaminate": sql_oracles.decontaminate_sql(n=5),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),

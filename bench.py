@@ -162,6 +162,7 @@ HEADLINE_QUERIES = (
     "train_split", "decontaminate", "pack_sequences",
     "repetition_stats", "stratified_sample", "global_index",
     "q20_excess_shippers", "q22_dormant_customers",
+    "tfidf_top_terms", "length_percentiles", "zorder_values",
 )
 
 

@@ -64,3 +64,26 @@ def unpersist_deps(df: DataFrame, blocking: bool = False) -> int:
     if deps:
         setattr(df, _ATTR, [])
     return len(deps)
+
+
+def ensure_compute_parallelism(
+    df: DataFrame, min_parts: int | None = None
+) -> DataFrame:
+    """Decouple a CPU-bound stage's parallelism from the scan's
+    input-split count.
+
+    Task count downstream of a parquet scan equals the number of input
+    splits; a compute-heavy derivation (per-gram md5, per-page OCR)
+    reading a handful of small files therefore runs on a handful of
+    cores no matter how large the cluster is.  When — and only when —
+    the frame has fewer partitions than the target (default: the
+    cluster's defaultParallelism), insert one round-robin repartition
+    so the expensive expressions run wide.  At production scale the
+    corpus arrives in thousands of splits and this is a no-op; the
+    guard is what makes it safe to leave in the query path (a blind
+    repartition would add a full extra shuffle of a 100 TB input)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

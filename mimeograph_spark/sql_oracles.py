@@ -399,6 +399,68 @@ FROM c LEFT JOIN k USING (lang)
 """
 
 
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirrors functions/tfidf.tfidf_top_terms: smoothed IDF
+    ln((N+1)/(df+1))+1, scores rounded to 6 before ranking so the
+    (score desc, term asc) order is identical across engines."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS tk
+  FROM documents
+), terms AS (
+  SELECT doc_id, unnest(tk) AS term FROM base
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), total AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (ln((n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
+  FROM tf t JOIN dfreq d USING (term), total
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+LENGTH_PERCENTILES_ORACLE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
+def zorder_values_sql(bits: int = 16) -> str:
+    """Mirrors sources/zorder.zvalue: Morton bit-interleave of
+    (doc_id, n_chars) masked to `bits`, spelled out as shift/and
+    arithmetic DuckDB evaluates identically."""
+    mask = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) + (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         doc_id & {mask} AS a,
+         n_chars & {mask} AS b
+  FROM documents
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS z FROM m
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -66,3 +66,40 @@ def windowed_event_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Streaming exact deduplication by event_id with BOUNDED state.
+
+    A plain dropDuplicates on a stream must remember every key it has
+    ever seen — state grows with the corpus and the query eventually
+    dies.  dropDuplicatesWithinWatermark keeps a key only until the
+    watermark passes its event time: duplicates are suppressed as long
+    as they arrive within the lateness bound, and state is evicted
+    behind the watermark — the contract that makes streaming dedup
+    viable on an unbounded ingest (at-least-once sources like Kafka
+    re-deliver within bounded lateness, which is exactly the window
+    this covers).
+
+    Exactly-once delivery to the parquet sink composes with it: a
+    restart replays the micro-batch, the sink's transaction log
+    ignores the duplicate files, and the dedup state itself is part
+    of the checkpoint."""
+    ev = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(input_dir)
+    deduped = ev.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -575,3 +575,47 @@ def test_stratified_sampling_exact_and_threshold(spark):
     n_big = sum(1 for i in kept if i < 400)
     assert 60 <= n_big <= 140  # ~cap with binomial noise
     assert sum(1 for i in kept if i >= 400) == 30  # threshold 10000: all kept
+
+
+def test_exact_percentiles_match_numpy(spark):
+    """Rank-arithmetic percentiles must equal numpy's linear
+    interpolation exactly (same percentile_cont definition), per
+    group, including a size-1 group."""
+    import numpy as np
+
+    from mimeograph_spark.functions.quantiles import exact_percentiles
+
+    rng = [(int(x), "g1") for x in (5, 1, 9, 3, 7, 2, 8)] + [(42, "g2")]
+    df = spark.createDataFrame(rng, "v long, g string")
+    got = {r["g"]: r for r in exact_percentiles(df, "v", "g").collect()}
+    for g, vals in (("g1", [5, 1, 9, 3, 7, 2, 8]), ("g2", [42])):
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = round(float(np.percentile(vals, q * 100)), 6)
+            assert abs(got[g][col] - want) < 1e-9, (g, col)
+        assert got[g]["n"] == len(vals)
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    """Two tiny docs: the term unique to a doc must outscore the
+    shared term, ranks deterministic."""
+    import math
+
+    from mimeograph_spark.functions.tfidf import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "shared rare rare"), (2, "shared common")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["term"], r["tf"], r["score"], r["rank"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    ]
+    idf_unique = math.log(3 / 2) + 1  # df=1, N=2
+    idf_shared = math.log(3 / 3) + 1  # df=2
+    want = [
+        (1, "rare", 2, round(2 * idf_unique, 6), 1),
+        (1, "shared", 1, round(idf_shared, 6), 2),
+        (2, "common", 1, round(idf_unique, 6), 1),
+        (2, "shared", 1, round(idf_shared, 6), 2),
+    ]
+    assert sorted(rows) == sorted(want)

@@ -438,3 +438,82 @@ def test_global_index_never_globally_sorts_the_data(spark):
     assert not offenders, offenders
     physical = jplan.toString()
     assert "hashpartitioning(_gi_bucket" in physical, physical
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """A z-ordered write must produce files whose min/max stats bound
+    BOTH columns (each file covers a small hyper-rectangle), where a
+    single-column sort leaves the second column's span at full range
+    — the property that lets parquet stats prune scans on either
+    filter column."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from mimeograph_spark.sources.zorder import write_zordered
+
+    grid = spark.range(0, 256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+
+    def file_spans(path, cols):
+        spans = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {c: None for c in cols}
+            hi = {c: None for c in cols}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in cols and col.statistics is not None:
+                        mn, mx = col.statistics.min, col.statistics.max
+                        lo[name] = mn if lo[name] is None else min(lo[name], mn)
+                        hi[name] = mx if hi[name] is None else max(hi[name], mx)
+            spans.append({c: hi[c] - lo[c] for c in cols})
+        return spans
+
+    def files_hit(path, col, probe):
+        """How many files a point filter col == probe must read,
+        going by the same min/max stats the parquet reader prunes
+        with."""
+        n = 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mn, mx = c.statistics.min, c.statistics.max
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+            if lo is not None and lo <= probe <= hi:
+                n += 1
+        return n
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(grid, zpath, "x", "y", bits=8, n_files=16)
+    n_zfiles = len(_glob.glob(f"{zpath}/*.parquet"))
+    assert n_zfiles >= 12
+
+    linpath = str(tmp_path / "linear")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linpath)
+    )
+    n_lfiles = len(_glob.glob(f"{linpath}/*.parquet"))
+
+    for probe in (40, 200):
+        # z-order prunes on BOTH dimensions (each point filter hits a
+        # strict minority of files; a perfect tiling would hit ~4/16)
+        assert files_hit(zpath, "x", probe) <= n_zfiles // 2, probe
+        assert files_hit(zpath, "y", probe) <= n_zfiles // 2, probe
+        # the single-column sort cannot prune the second dimension:
+        # every file's y range contains every probe
+        assert files_hit(linpath, "y", probe) == n_lfiles, probe

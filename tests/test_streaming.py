@@ -244,3 +244,47 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert (4, 1) in got and (4, 2) in got  # both views matched
     assert (5, 3) not in got                # outside the interval
     assert (5, 6) in got                    # cross-batch pair found
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    lateness bound are suppressed (across micro-batches and restarts,
+    via checkpointed state), and each unique event is delivered
+    exactly once to the sink."""
+    from datetime import datetime
+
+    from mimeograph_spark.streaming.event_time import (
+        EVENT_STREAM_SCHEMA,
+        dedup_event_stream,
+    )
+
+    input_dir = str(tmp_path / "dd_in")
+    output_dir = str(tmp_path / "dd_out")
+    ckpt_dir = str(tmp_path / "dd_ckpt")
+
+    def arrive(*rows):
+        spark.createDataFrame(
+            [
+                (eid, "x", datetime(2024, 1, 1, h, m), 1.0)
+                for eid, (h, m) in rows
+            ],
+            EVENT_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        q = dedup_event_stream(spark, input_dir, output_dir, ckpt_dir)
+        q.awaitTermination(120)
+
+    # batch 1: event 1 appears twice in the same micro-batch; event 2
+    # once
+    arrive((1, (10, 0)), (1, (10, 0)), (2, (10, 1)))
+    run()
+    # batch 2 (fresh query over the same checkpoint = restart): event
+    # 1 redelivered within the watermark bound -> suppressed by the
+    # CHECKPOINTED dedup state; event 3 is new
+    arrive((1, (10, 0)), (3, (10, 2)))
+    run()
+
+    out = spark.read.parquet(output_dir)
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]
