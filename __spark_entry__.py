@@ -228,6 +228,67 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_scored_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-SCORED main-content extraction
+    (extract_main_content_scored): additive block score of visible
+    chars minus 3x link chars, +/-30 for positive/negative DOM hints
+    (<article>/<main>/content-ish class names vs <nav>/<footer>/
+    <aside>/ad-ish) — the weighting real boilerplate removers use,
+    vs the hard cutoffs of `html_main_content`.  Same zero-Python
+    single-pass execution shape."""
+    from mimeograph_spark.functions.html_extract import (
+        extract_main_content_scored,
+        synth_html,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.select(
+        "doc_id", synth_html(F.col("doc_id"), F.col("text")).alias("_html")
+    )
+    res = page.select(
+        "doc_id", extract_main_content_scored(F.col("_html")).alias("r")
+    )
+    return res.select(
+        "doc_id",
+        "r.main_text",
+        "r.n_blocks_kept",
+        "r.n_blocks_total",
+        "r.boilerplate_chars",
+        "r.top_score",
+    )
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout analysis (operators/layout.py): reconstruct reading
+    order from word-box geometry — largest-gap column detection (one
+    X-Y-cut level) then (column, y, x) ordering, all per-doc windows.
+    Word boxes are synthesized deterministically (even docs
+    two-column, odd single-column) so the oracle replays geometry AND
+    recovery; a pytest separately pins text_rebuilt == original."""
+    from mimeograph_spark.operators.layout import (
+        reading_order,
+        synth_word_boxes,
+    )
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    ordered = reading_order(synth_word_boxes(docs))
+    return ordered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        (F.max("col") + 1).cast("long").alias("n_columns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_rebuilt"),
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation — the composed filter a training-data
     pipeline actually ships: keep a document iff it is (a) the
@@ -675,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data
         "textstats": q_textstats,
         "html_main_content": q_html_main_content,
+        "html_scored_content": q_html_scored_content,
+        "reading_order": q_reading_order,
         "curate_documents": q_curate_documents,
         "json_extract": q_json_extract,
         "map_event_counts": q_map_event_counts,
@@ -722,6 +785,8 @@ def oracle_sql() -> dict[str, str]:
         # training-data
         "textstats": sql_oracles.textstats_sql(),
         "html_main_content": sql_oracles.html_main_content_sql(),
+        "html_scored_content": sql_oracles.html_scored_content_sql(),
+        "reading_order": sql_oracles.reading_order_sql(),
         "curate_documents": sql_oracles.curate_documents_sql(),
         "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
         "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,

@@ -36,6 +36,18 @@ BLOCK_SPLIT_RE = r"</(?:p|div|nav|footer|article|section|h[1-6]|li)>"
 TAG_RE = r"<[^>]*>"
 ANCHOR_RE = r"(?s)<a[^>]*>(.*?)</a>"
 
+# readability-style DOM hints: structural tags / class-id naming that
+# mark navigation & chrome vs. article prose (RE2-safe, shared with
+# the oracle verbatim)
+NEG_HINT_RE = (
+    r'(?i)<(?:nav|footer|aside)[\s>]'
+    r'|(?:class|id)="[^"]*(?:nav|foot|side|ad|promo|comment)'
+)
+POS_HINT_RE = (
+    r'(?i)<(?:article|main)[\s>]'
+    r'|(?:class|id)="[^"]*(?:article|content|main|post)'
+)
+
 
 def synth_html(doc_id: Column, text: Column) -> Column:
     """Deterministic HTML page around a document's text: title + nav
@@ -84,6 +96,81 @@ def _link_text(block: Column) -> Column:
             r"\s+",
             " ",
         )
+    )
+
+
+def extract_main_content_scored(
+    html: Column, min_score: int = 25
+) -> Column:
+    """Readability-style scored variant of main-content extraction:
+    instead of hard text-length / link-density cutoffs, each block
+    gets an additive score
+
+        score = visible_chars - 3 * link_chars
+                + 30 * positive_DOM_hint - 30 * negative_DOM_hint
+
+    where the hints are the structural-tag / class-id patterns
+    (<article>/<main>/content-ish names up, <nav>/<footer>/<aside>/
+    ad-ish names down) that real boilerplate removers weight.  Blocks
+    scoring >= min_score are kept in document order.  Same execution
+    shape as the cutoff variant: one regex pass per block, pure
+    codegen, no Python.  Returns (main_text, n_blocks_kept,
+    n_blocks_total, boilerplate_chars, top_score)."""
+    no_script = F.regexp_replace(
+        html, r"(?s)<script[^>]*>.*?</script>", " "
+    )
+    clean = F.regexp_replace(
+        no_script, r"(?s)<style[^>]*>.*?</style>", " "
+    )
+    blocks = F.split(clean, BLOCK_SPLIT_RE)
+    staged = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _visible(b).alias("t"),
+            F.length(_visible(b)).alias("n"),
+            F.length(_link_text(b)).alias("ln"),
+            b.rlike(POS_HINT_RE).cast("int").alias("pos"),
+            b.rlike(NEG_HINT_RE).cast("int").alias("neg"),
+        ),
+    )
+    scored = F.transform(
+        staged,
+        lambda s: F.struct(
+            s["t"].alias("t"),
+            s["n"].alias("n"),
+            (
+                s["n"]
+                - 3 * s["ln"]
+                + 30 * s["pos"]
+                - 30 * s["neg"]
+            ).alias("sc"),
+        ),
+    )
+    keep = F.filter(
+        scored, lambda s: (s["n"] > 0) & (s["sc"] >= min_score)
+    )
+    drop = F.filter(
+        scored, lambda s: (s["n"] > 0) & (s["sc"] < min_score)
+    )
+    return F.struct(
+        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(
+            "main_text"
+        ),
+        F.size(keep).cast("long").alias("n_blocks_kept"),
+        F.size(F.filter(scored, lambda s: s["n"] > 0))
+        .cast("long")
+        .alias("n_blocks_total"),
+        F.aggregate(
+            drop, F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
+        ).alias("boilerplate_chars"),
+        F.when(
+            F.size(keep) > 0,
+            F.array_max(F.transform(keep, lambda s: s["sc"])).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("top_score"),
     )
 
 

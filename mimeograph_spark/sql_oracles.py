@@ -248,6 +248,152 @@ FROM scored
 """
 
 
+def html_scored_content_sql(min_score: int = 25) -> str:
+    """Mirrors functions/html_extract.extract_main_content_scored:
+    same synthetic page and block split, additive readability score
+    (chars - 3*link_chars +/- 30 per DOM hint) with the hint regexes
+    imported verbatim."""
+    from .functions.html_extract import (
+        ANCHOR_RE,
+        BLOCK_SPLIT_RE,
+        NEG_HINT_RE,
+        POS_HINT_RE,
+        TAG_RE,
+    )
+
+    visible = (
+        "trim(regexp_replace(regexp_replace(b, '{tag}', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    ).format(tag=TAG_RE)
+    link = (
+        "coalesce(length(trim(regexp_replace(array_to_string("
+        "regexp_extract_all(b, '{anchor}', 1), ' '), '\\s+', ' ', 'g'))), 0)"
+    ).format(anchor=ANCHOR_RE)
+    return f"""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+    || '</title><style>body {{margin:0}}</style>'
+    || '<script>var tracker = "x";</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/a">About</a> '
+    || '<a href="/c">Contact</a></nav>'
+    || '<div>Buy <a href="/buy">cheap deals now</a> '
+    || '<a href="/o">limited offer today</a></div>'
+    || '<article><p>' || text || '</p><p>Short tail: '
+    || array_to_string((string_split(text, ' '))[1:5], ' ')
+    || '</p></article><footer><a href="/t">Terms of service</a> '
+    || '<a href="/p">Privacy policy</a></footer></body></html>' AS html
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS c
+  FROM page
+), blocks AS (
+  SELECT doc_id,
+         regexp_split_to_array(c, '{BLOCK_SPLIT_RE}') AS bl
+  FROM cleaned
+), staged AS (
+  SELECT doc_id,
+         list_transform(bl, b -> {{
+           't': {visible}, 'ln': {link},
+           'pos': CASE WHEN regexp_matches(b, '{POS_HINT_RE}')
+                  THEN 1 ELSE 0 END,
+           'neg': CASE WHEN regexp_matches(b, '{NEG_HINT_RE}')
+                  THEN 1 ELSE 0 END}}) AS s1
+  FROM blocks
+), scored AS (
+  SELECT doc_id,
+         list_transform(s1, s -> {{
+           't': s.t, 'n': length(s.t),
+           'sc': length(s.t) - 3 * s.ln + 30 * s.pos - 30 * s.neg}}) AS sc
+  FROM staged
+), split3 AS (
+  SELECT doc_id,
+         list_filter(sc, s -> s.n > 0 AND s.sc >= {min_score}) AS kp,
+         list_filter(sc, s -> s.n > 0 AND s.sc < {min_score}) AS dp,
+         list_filter(sc, s -> s.n > 0) AS al
+  FROM scored
+)
+SELECT doc_id,
+  array_to_string(list_transform(kp, s -> s.t), ' ') AS main_text,
+  CAST(len(kp) AS BIGINT) AS n_blocks_kept,
+  CAST(len(al) AS BIGINT) AS n_blocks_total,
+  CAST(coalesce(list_sum(list_transform(dp, s -> s.n)), 0) AS BIGINT)
+    AS boilerplate_chars,
+  CAST(CASE WHEN len(kp) > 0
+       THEN list_max(list_transform(kp, s -> s.sc)) ELSE 0 END AS BIGINT)
+    AS top_score
+FROM split3
+"""
+
+
+def reading_order_sql(
+    words_per_line: int = 3,
+    col_offset: float = 800.0,
+    min_gap: float = 300.0,
+) -> str:
+    """Mirrors operators/layout.py end-to-end: the deterministic
+    word-box synthesis AND the largest-gap column split + (col, y, x)
+    ordering, replayed with the same tie-breaks."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+  WHERE length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, unnest(tk) AS word,
+         generate_subscripts(tk, 1) - 1 AS i,
+         len(tk) AS n
+  FROM base
+), geo AS (
+  SELECT doc_id, word, i,
+         CASE WHEN doc_id % 2 = 0
+                   AND (i // {words_per_line})
+                       >= (((n + {words_per_line - 1}) // {words_per_line}) + 1) // 2
+              THEN 1 ELSE 0 END AS scol,
+         i // {words_per_line} AS line,
+         i % {words_per_line} AS pos,
+         (((n + {words_per_line - 1}) // {words_per_line}) + 1) // 2 AS half
+  FROM toks
+), boxes AS (
+  SELECT doc_id, word, i,
+         scol * {col_offset} + pos * 120.0 AS x0,
+         (line - scol * half) * 20.0 AS y0
+  FROM geo
+), dist AS (
+  SELECT DISTINCT doc_id, x0 + 50.0 AS cx FROM boxes
+), gaps AS (
+  SELECT doc_id, cx,
+         lag(cx) OVER (PARTITION BY doc_id ORDER BY cx) AS prev
+  FROM dist
+), g2 AS (
+  SELECT doc_id, cx - prev AS gap, (cx + prev) / 2.0 AS mid
+  FROM gaps WHERE prev IS NOT NULL
+), best AS (
+  SELECT doc_id, mid AS boundary FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY gap DESC, mid DESC) AS rn
+    FROM g2) WHERE rn = 1 AND gap >= {min_gap}
+), placed AS (
+  SELECT b.doc_id, b.word, b.y0, b.x0,
+         CASE WHEN boundary IS NOT NULL AND b.x0 + 50.0 > boundary
+              THEN 1 ELSE 0 END AS col
+  FROM boxes b LEFT JOIN best USING (doc_id)
+), ordered AS (
+  SELECT doc_id, word, col,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY col, y0, x0) - 1 AS seq
+  FROM placed
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(max(col) + 1 AS BIGINT) AS n_columns,
+       string_agg(word, ' ' ORDER BY seq) AS text_rebuilt
+FROM ordered GROUP BY doc_id
+"""
+
+
 def train_split_sql(
     weights: tuple = (0.8, 0.1, 0.1),
     names: tuple = ("train", "val", "test"),

@@ -619,3 +619,108 @@ def test_tfidf_top_terms_closed_form(spark):
         (2, "shared", 1, round(idf_shared, 6), 2),
     ]
     assert sorted(rows) == sorted(want)
+
+
+def test_approx_sketches_vs_exact(spark):
+    """The approximate aggregates the 100 TB path would actually use
+    (HLL count-distinct, t-digest-style percentiles) must land within
+    their documented error of the exact baselines this repo computes
+    (exact distinct counts; rank-arithmetic percentiles)."""
+    from mimeograph_spark.functions.quantiles import exact_percentiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    exact = docs.agg(
+        F.countDistinct("doc_id").alias("n")
+    ).first()["n"]
+    approx = docs.agg(
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("n")
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.06  # 3x the 2% rsd
+
+    ex = {
+        r["lang"]: r["p90"]
+        for r in exact_percentiles(docs, "n_chars", "lang").collect()
+    }
+    ap = {
+        r["lang"]: r["p90"]
+        for r in docs.groupBy("lang")
+        .agg(F.percentile_approx("n_chars", 0.9, 10000).alias("p90"))
+        .collect()
+    }
+    for lang, want in ex.items():
+        # percentile_approx is rank-exact at this accuracy/row count;
+        # it returns a data value, the exact form interpolates —
+        # allow one value-gap of slack
+        assert abs(ap[lang] - want) <= max(10.0, 0.05 * want), lang
+
+
+def test_scored_extraction_dom_hints(spark):
+    """Class/id DOM hints (the arms the synthetic driver page doesn't
+    exercise): an ad-classed long block is demoted below threshold, a
+    content-classed short block is promoted above it, an unhinted
+    block passes on raw length."""
+    from mimeograph_spark.functions.html_extract import (
+        extract_main_content_scored,
+    )
+
+    a = "x" * 50          # 50 - 30 (neg) = 20 < 25 -> dropped
+    b = "y" * 10          # 10 + 30 (pos) = 40 >= 25 -> kept
+    c = "z" * 30          # 30 >= 25 -> kept
+    html = (
+        f'<div class="x-ad-y">{a}</div>'
+        f'<div class="post">{b}</div>'
+        f"<p>{c}</p>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    r = df.select(
+        extract_main_content_scored(F.col("h")).alias("r")
+    ).first()["r"]
+    assert r["main_text"] == f"{b} {c}"
+    assert r["n_blocks_kept"] == 2
+    assert r["n_blocks_total"] == 3
+    assert r["boilerplate_chars"] == 50
+    assert r["top_score"] == 40
+
+
+def test_reading_order_recovers_token_sequence(spark):
+    """Round-trip property: scrambled word boxes from the two-column
+    and single-column synthetic layouts must reorder back to exactly
+    the original token sequence, and column detection must fire only
+    on the two-column pages."""
+    from mimeograph_spark.operators.layout import (
+        reading_order,
+        synth_word_boxes,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").filter(F.length(F.trim("text")) > 0)
+    boxes = synth_word_boxes(docs).orderBy(F.md5(F.col("word")))  # scramble
+    ordered = reading_order(boxes)
+
+    rebuilt = {
+        r["doc_id"]: (r["t"], r["c"])
+        for r in ordered.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("t"),
+            F.max("col").alias("c"),
+        )
+        .collect()
+    }
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rebuilt.keys() == originals.keys()
+    for did, (text, maxcol) in rebuilt.items():
+        norm = " ".join(originals[did].split())
+        assert text == norm, did
+        n_words = len(norm.split())
+        if did % 2 == 0 and n_words >= 6:
+            assert maxcol == 1, (did, maxcol)
+        else:
+            assert maxcol == 0, (did, maxcol)
