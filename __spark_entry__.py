@@ -374,9 +374,12 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), top word-bigram with deterministic tie-break, duplicate
     bigram/trigram occurrence fractions.  Bigrams and trigrams are
     tagged and unioned before ONE (doc, kind, gram) aggregation."""
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
     from mimeograph_spark.functions.repetition import repetition_stats
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = ensure_compute_parallelism(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return repetition_stats(docs)
 
 
