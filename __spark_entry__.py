@@ -165,6 +165,26 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (operators/cogroup.py): per-user
+    purchase/view as-of merge via pd.merge_asof inside one cogrouped
+    Arrow UDF — the UDF surface for per-key logic needing both sides
+    at once.  The declarative asof operator is the production twin;
+    the oracle is DuckDB's native ASOF LEFT JOIN aggregated to the
+    same per-user lag totals, verifying the Arrow plumbing
+    end-to-end."""
+    from mimeograph_spark.operators.cogroup import cogrouped_asof_lag
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    return cogrouped_asof_lag(purchases, views)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join (operators/rangejoin.py): orders matched to
     overlapping price bands by containment — an equi-join on bins, not
@@ -726,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_dormant_customers": relational.q22_dormant_customers,
         "window_topn": relational.window_top_orders_per_customer,
         "window_analytics": relational.window_analytics,
+        "rolling_window_revenue": relational.rolling_window_revenue,
         "rollup_status_month": relational.rollup_orders_by_status_month,
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -769,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_q4": relational.semi_join_order_priority,
         "outer_join_nations": relational.outer_join_nation_activity,
         "asof_join_events": q_asof_join,
+        "cogroup_asof_lag": q_cogroup_asof_lag,
         "range_join_price_bands": q_range_join,
         "hypertable_rollup": q_hypertable_rollup,
         "multimodal_meta": q_multimodal_meta,
@@ -827,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,
         "outer_join_nations": sql_oracles.OUTER_JOIN_ORACLE,
         "asof_join_events": sql_oracles.ASOF_JOIN_ORACLE,
+        "cogroup_asof_lag": sql_oracles.COGROUP_ASOF_LAG_ORACLE,
         "range_join_price_bands": sql_oracles.RANGE_JOIN_ORACLE,
         "hypertable_rollup": sql_oracles.hypertable_rollup_sql(),
         # multimodal: payload is a counter-block md5 stream, so both

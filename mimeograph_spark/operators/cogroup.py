@@ -1,0 +1,70 @@
+"""Cogrouped Arrow UDF surface: applyInPandas over a COGROUP.
+
+`df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas(...)` is the
+API for per-key logic that needs BOTH sides' rows at once — the
+escape hatch when a join can't express the pairwise computation.  It
+shuffles each side once on the key and streams matched key-groups
+through Arrow into pandas, so the cost model is exactly a shuffle
+join whose "join function" is arbitrary Python: scale-safe as long
+as single keys fit a task (same bound as any grouped UDF).
+
+The demonstration operator is a per-user as-of merge via
+``pd.merge_asof`` — purchase events matched to the latest
+at-or-before view.  The declarative twin (`operators/asof.py`) is
+the right production shape (no Python); this module exists to cover
+the cogroup surface with semantics that a DuckDB `ASOF LEFT JOIN`
+oracle can replay exactly, so the Arrow plumbing is verified
+end-to-end, not just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def cogrouped_asof_lag(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """Per user: purchase count, how many purchases have a prior (or
+    simultaneous) view, and the summed view->purchase lag in seconds.
+    Input frames need (user_id, ts); rows stream through one cogrouped
+    Arrow UDF per user."""
+    import pandas as pd
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_purchases": pd.Series(dtype="int64"),
+                    "n_matched": pd.Series(dtype="int64"),
+                    "total_lag_s": pd.Series(dtype="float64"),
+                }
+            )
+        left = left.sort_values("ts")[["ts"]]
+        # carry the view timestamp through under its own name —
+        # merge_asof keeps only the LEFT copy of the `on` column
+        right = (
+            right.sort_values("ts")
+            .assign(vts=lambda d: d["ts"])[["ts", "vts"]]
+        )
+        m = pd.merge_asof(left, right, on="ts", direction="backward")
+        matched = m["vts"].notna()
+        lag = (m["ts"] - m["vts"]).dt.total_seconds()
+        total = float(lag[matched].sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(left)],
+                "n_matched": [int(matched.sum())],
+                "total_lag_s": [round(total, 3)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_matched long, "
+            "total_lag_s double",
+        )
+    )

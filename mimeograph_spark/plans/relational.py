@@ -460,6 +460,31 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def rolling_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the frame type the rest of the suite
+    doesn't cover): per customer, the rolling 30-DAY order revenue —
+    a VALUE-based frame over event time, not a row count, so sparse
+    and dense order histories aggregate the same wall-clock span.
+    Ordering key is integer epoch days on both engines, making the
+    frame arithmetic bit-identical."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the generalization rollup/cube are
     sugar for: exactly the requested aggregation levels ((status,

@@ -607,6 +607,21 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS z FROM m
 """
 
 
+COGROUP_ASOF_LAG_ORACLE = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT p.user_id, p.ts, v.ts AS vts
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(vts) AS BIGINT) AS n_matched,
+       round(coalesce(sum(epoch(ts) - epoch(vts)), 0), 3) AS total_lag_s
+FROM m GROUP BY user_id
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
@@ -1428,6 +1443,16 @@ WHERE c.c_acctbal > (
     WHERE o.o_custkey = c.c_custkey
       AND o.o_orderpriority = '1-URGENT')
 GROUP BY c.c_mktsegment
+""",
+    "rolling_window_revenue": """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER w, 4) AS rev_30d,
+       count(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """,
     "grouping_sets_revenue": """
 SELECT o_orderstatus, o_orderpriority,

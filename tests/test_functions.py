@@ -724,3 +724,31 @@ def test_reading_order_recovers_token_sequence(spark):
             assert maxcol == 1, (did, maxcol)
         else:
             assert maxcol == 0, (did, maxcol)
+
+
+def test_cogrouped_asof_lag_edges(spark):
+    """Cogroup edge semantics: a user with no views matches nothing,
+    a simultaneous view matches with lag 0, and view-only users emit
+    no row."""
+    from datetime import datetime
+
+    from mimeograph_spark.operators.cogroup import cogrouped_asof_lag
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    purchases = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (2, t(3)), (3, t(1))],
+        "user_id long, ts timestamp",
+    )
+    views = spark.createDataFrame(
+        [(1, t(2)), (1, t(10)), (3, t(2)), (9, t(0))],
+        "user_id long, ts timestamp",
+    )
+    rows = {r["user_id"]: r for r in cogrouped_asof_lag(purchases, views).collect()}
+    assert set(rows) == {1, 2, 3}
+    # user 1: 10:05 -> view 10:02 (180s); 10:10 -> view 10:10 (0s)
+    assert rows[1]["n_purchases"] == 2 and rows[1]["n_matched"] == 2
+    assert rows[1]["total_lag_s"] == 180.0
+    # user 2 has no views at all
+    assert rows[2]["n_matched"] == 0 and rows[2]["total_lag_s"] == 0.0
+    # user 3's only view is AFTER the purchase
+    assert rows[3]["n_matched"] == 0
