@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 
 def cogrouped_asof_lag(purchases: DataFrame, views: DataFrame) -> DataFrame:
     """Per user: purchase count, how many purchases have a prior (or
-    simultaneous) view, and the summed view->purchase lag in seconds.
+    simultaneous) view, and the summed view->purchase lag in integer
+    microseconds (exact — no FP sum to diverge across engines).
     Input frames need (user_id, ts); rows stream through one cogrouped
     Arrow UDF per user."""
     import pandas as pd
@@ -36,7 +37,7 @@ def cogrouped_asof_lag(purchases: DataFrame, views: DataFrame) -> DataFrame:
                     "user_id": pd.Series(dtype="int64"),
                     "n_purchases": pd.Series(dtype="int64"),
                     "n_matched": pd.Series(dtype="int64"),
-                    "total_lag_s": pd.Series(dtype="float64"),
+                    "total_lag_us": pd.Series(dtype="int64"),
                 }
             )
         left = left.sort_values("ts")[["ts"]]
@@ -48,14 +49,18 @@ def cogrouped_asof_lag(purchases: DataFrame, views: DataFrame) -> DataFrame:
         )
         m = pd.merge_asof(left, right, on="ts", direction="backward")
         matched = m["vts"].notna()
-        lag = (m["ts"] - m["vts"]).dt.total_seconds()
-        total = float(lag[matched].sum())
+        # integer microseconds: the lag sum is exact on both engines
+        # (a float-seconds sum can land on a rounding boundary and
+        # diverge in the last rounded digit — observed at sf0.1)
+        lag_us = (m.loc[matched, "ts"] - m.loc[matched, "vts"]) // pd.Timedelta(
+            microseconds=1
+        )
         return pd.DataFrame(
             {
                 "user_id": [int(key[0])],
                 "n_purchases": [len(left)],
                 "n_matched": [int(matched.sum())],
-                "total_lag_s": [round(total, 3)],
+                "total_lag_us": [int(lag_us.sum())],
             }
         )
 
@@ -65,6 +70,6 @@ def cogrouped_asof_lag(purchases: DataFrame, views: DataFrame) -> DataFrame:
         .applyInPandas(
             merge,
             "user_id long, n_purchases long, n_matched long, "
-            "total_lag_s double",
+            "total_lag_us long",
         )
     )

@@ -617,7 +617,8 @@ m AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_purchases,
        CAST(count(vts) AS BIGINT) AS n_matched,
-       round(coalesce(sum(epoch(ts) - epoch(vts)), 0), 3) AS total_lag_s
+       CAST(coalesce(sum(epoch_us(ts) - epoch_us(vts)), 0) AS BIGINT)
+         AS total_lag_us
 FROM m GROUP BY user_id
 """
 

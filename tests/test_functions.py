@@ -747,8 +747,8 @@ def test_cogrouped_asof_lag_edges(spark):
     assert set(rows) == {1, 2, 3}
     # user 1: 10:05 -> view 10:02 (180s); 10:10 -> view 10:10 (0s)
     assert rows[1]["n_purchases"] == 2 and rows[1]["n_matched"] == 2
-    assert rows[1]["total_lag_s"] == 180.0
+    assert rows[1]["total_lag_us"] == 180_000_000
     # user 2 has no views at all
-    assert rows[2]["n_matched"] == 0 and rows[2]["total_lag_s"] == 0.0
+    assert rows[2]["n_matched"] == 0 and rows[2]["total_lag_us"] == 0
     # user 3's only view is AFTER the purchase
     assert rows[3]["n_matched"] == 0
