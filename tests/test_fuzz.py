@@ -123,3 +123,71 @@ def test_resolve_clusters_matches_union_find(spark, pairs):
         for r in resolve_clusters(df).collect()
     }
     assert got == _uf_components(pairs)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=60
+    ),
+    budget=st.sampled_from([64, 257, 2048]),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+def test_fuzz_pack_sequences_dense_stream(spark, toks, budget, n_shards):
+    """Packing invariants on arbitrary token-count distributions
+    (including zero-token docs and budget-straddling giants): the
+    per-shard token stream is dense, offsets stay inside the budget,
+    and span counts match the closed form."""
+    from mimeograph_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(
+        df, budget=budget, n_shards=n_shards, sep_tokens=1
+    ).collect()
+    assert len(rows) == len(toks)
+    cum = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        c = cum.get(r["shard"], 0)
+        assert r["seq_id"] == c // budget
+        assert r["begin_offset"] == c % budget
+        end = c + r["n_tokens"] + 1 - 1
+        assert r["n_seqs"] == end // budget - c // budget + 1
+        cum[r["shard"]] = c + r["n_tokens"] + 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    keys=st.sets(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=80,
+    ),
+    n_buckets=st.sampled_from([1, 7, 64]),
+)
+def test_fuzz_global_index_is_rank(spark, keys, n_buckets):
+    """with_global_index == rank for arbitrary (possibly negative,
+    clustered, sparse) unique keys and any bucket count."""
+    from mimeograph_spark.functions.ids import with_global_index
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["global_idx"]
+        for r in with_global_index(df, "k", n_buckets=n_buckets).collect()
+    }
+    assert got == {k: i for i, k in enumerate(sorted(keys))}
