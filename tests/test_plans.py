@@ -517,3 +517,50 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         # the single-column sort cannot prune the second dimension:
         # every file's y range contains every probe
         assert files_hit(linpath, "y", probe) == n_lfiles, probe
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packed layout must cost exactly ONE exchange (the shard
+    hash partition) and ONE sort (the in-partition doc_id order) —
+    any global sort or extra shuffle here breaks the operator's
+    scale contract."""
+    from mimeograph_spark.functions.packing import pack_sequences
+    from mimeograph_spark.functions.textstats import token_count
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn("n_tokens", token_count(F.col("text")))
+        )
+        plan = (
+            pack_sequences(docs, budget=2048, n_shards=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "SinglePartition" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_rolling_range_window_single_shuffle(spark):
+    """The 30-day RANGE window must run as one hash exchange on the
+    partition key plus one in-partition sort — no global ordering."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = (
+            relational.rolling_window_revenue(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "SinglePartition" not in plan, plan
+        assert "Window" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
