@@ -165,6 +165,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleaved_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-ready interleaved example assembly — the deliverable of
+    an interleaved text+media corpus: per document, spans in offset
+    order become one training string where each media span is an
+    indexed placeholder token (`<|media_k|>`) and the media refs ride
+    alongside in the same order for the loader to resolve.  Pure
+    array expressions per row (sort, indexed transform, filter) —
+    zero shuffle, zero Python."""
+    from mimeograph_spark.plans.pipeline import assemble_interleaved
+
+    return assemble_interleaved(_documents(spark, sf_dir))
+
+
 def q_cogroup_asof_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (operators/cogroup.py): per-user
     purchase/view as-of merge via pd.merge_asof inside one cogrouped
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_branch": q_classify_branch,
         "span_kind_counts": q_span_kind_counts,
         "ocr_pages": q_ocr_pages,
+        "interleaved_examples": q_interleaved_examples,
         # relational
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -807,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "classify_branch": sql_oracles.classify_branch_sql(),
         "span_kind_counts": sql_oracles.span_kind_counts_sql(),
         "ocr_pages": sql_oracles.ocr_pages_sql(),
+        "interleaved_examples": sql_oracles.interleaved_examples_sql(),
         # training-data
         "textstats": sql_oracles.textstats_sql(),
         "html_main_content": sql_oracles.html_main_content_sql(),

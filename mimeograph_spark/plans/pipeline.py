@@ -210,3 +210,52 @@ def extract_flat(documents: DataFrame, **kwargs) -> DataFrame:
         ).alias("final_text"),
     )
     return register_persisted(out, *persisted_deps(res))
+
+
+def assemble_interleaved(docs: DataFrame) -> DataFrame:
+    """Model-ready interleaved example assembly: spans in offset order
+    become one training string where each media span is an indexed
+    placeholder token (`<|media_k|>`), with the refs aggregated in
+    the same order for the loader to resolve.  Pure array expressions
+    per row — zero shuffle, zero Python; the slice-filter media
+    ordinal is O(spans^2) per doc, bounded by the span cap."""
+    sp = F.array_sort(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("o"),
+                s["kind"].alias("k"),
+                s["text"].alias("t"),
+                s["media_ref"].alias("m"),
+            ),
+        )
+    )
+    staged = docs.select("doc_id", sp.alias("_sp"))
+    pieces = F.transform(
+        "_sp",
+        lambda s, i: F.when(
+            s["k"] == "text", F.coalesce(s["t"], F.lit(""))
+        ).otherwise(
+            F.concat(
+                F.lit("<|media_"),
+                F.size(
+                    F.filter(
+                        F.slice("_sp", 1, i), lambda x: x["k"] == "media"
+                    )
+                ).cast("string"),
+                F.lit("|>"),
+            )
+        ),
+    )
+    media = F.filter("_sp", lambda s: s["k"] == "media")
+    return staged.select(
+        "doc_id",
+        F.array_join(pieces, " ").alias("example_text"),
+        F.array_join(F.transform(media, lambda s: s["m"]), ",").alias(
+            "media_refs_csv"
+        ),
+        F.size(media).cast("long").alias("n_media"),
+        F.size(F.filter("_sp", lambda s: s["k"] == "text"))
+        .cast("long")
+        .alias("n_text"),
+    )

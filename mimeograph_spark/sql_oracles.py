@@ -102,6 +102,39 @@ GROUP BY kind
 """
 
 
+def interleaved_examples_sql() -> str:
+    """Oracle for model-ready interleaved assembly: span_rows in
+    offset order, media spans replaced by indexed placeholder tokens,
+    refs aggregated in the same order."""
+    return f"""
+WITH {DERIVE_SPANS_SQL.strip()},
+ordered AS (
+  SELECT doc_id, kind, text, media_ref, "offset",
+         coalesce(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY "offset"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS media_before
+  FROM span_rows
+), pieces AS (
+  SELECT doc_id, "offset", kind, media_ref,
+         CASE WHEN kind = 'text' THEN coalesce(text, '')
+              ELSE '<|media_' || CAST(media_before AS VARCHAR) || '|>'
+         END AS piece
+  FROM ordered
+)
+SELECT doc_id,
+       string_agg(piece, ' ' ORDER BY "offset") AS example_text,
+       coalesce(string_agg(
+         CASE WHEN kind = 'media' THEN media_ref END, ','
+         ORDER BY "offset"), '') AS media_refs_csv,
+       CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text
+FROM pieces GROUP BY doc_id
+"""
+
+
 def ocr_pages_sql() -> str:
     """Oracle for the page-level OCR operator: every media span of
     every OCR-branch doc with its OCR text (NULL on bad pages)."""

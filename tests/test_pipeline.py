@@ -90,3 +90,28 @@ def test_megapage_all_pages_present_and_ordered(spark):
         assert len(spans) + len(errs) == n
         offs = [s["offset"] for s in spans]
         assert offs == sorted(offs)
+
+
+def test_interleaved_example_assembly(spark):
+    """Placeholder semantics pinned closed-form: media spans become
+    <|media_k|> tokens indexed in document order, text spans pass
+    through, refs ride alongside in the same order — independent of
+    the span array's input order."""
+    from mimeograph_spark.corpus import corpus_df
+    from mimeograph_spark.plans.pipeline import assemble_interleaved
+
+    rows = [
+        {
+            "doc_id": "d1",
+            "spans": [
+                {"kind": "media", "text": None, "media_ref": "m:b", "offset": 2},
+                {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+                {"kind": "media", "text": None, "media_ref": "m:a", "offset": 1},
+                {"kind": "text", "text": "world", "media_ref": None, "offset": 3},
+            ],
+        }
+    ]
+    r = assemble_interleaved(corpus_df(spark, rows)).first()
+    assert r["example_text"] == "hello <|media_0|> <|media_1|> world"
+    assert r["media_refs_csv"] == "m:a,m:b"
+    assert r["n_media"] == 2 and r["n_text"] == 2
