@@ -163,7 +163,8 @@ HEADLINE_QUERIES = (
     "repetition_stats", "stratified_sample", "global_index",
     "q20_excess_shippers", "q22_dormant_customers",
     "tfidf_top_terms", "length_percentiles", "zorder_values",
-    "reading_order", "html_scored_content",
+    "reading_order", "html_scored_content", "interleaved_examples",
+    "rolling_window_revenue", "cogroup_asof_lag",
 )
 
 
