@@ -756,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_suppliers": relational.q5_local_suppliers,
         "q17_small_quantity": relational.q17_small_quantity_revenue,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "q18_large_orders": relational.q18_large_orders,
         "q20_excess_shippers": relational.q20_excess_shippers,
         "q22_dormant_customers": relational.q22_dormant_customers,
         "window_topn": relational.window_top_orders_per_customer,

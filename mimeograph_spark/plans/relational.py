@@ -433,6 +433,54 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery + count-distinct rollup (TPC-H Q16 shape):
+    distinct suppliers per (brand, type, size) over selected parts,
+    excluding flagged suppliers.  NOT IN carries the three-valued-
+    logic trap — one NULL in the subquery empties the result — which
+    both engines must resolve identically (s_suppkey is non-null
+    here; the plan must still rewrite the NOT IN to a null-aware
+    anti join, never a per-row probe)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q16_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q16_part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q16_supplier")
+    return spark.sql("""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM _q16_lineitem l JOIN _q16_part p
+          ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 5, 10, 15, 20)
+          AND p.p_type <> 'PROMO'
+          AND l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM _q16_supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """)
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over a grouped-HAVING subquery (TPC-H Q18 shape): orders
+    whose total line quantity exceeds 300, with customer attribution.
+    The subquery aggregates the SAME fact table the outer query
+    joins — Catalyst must evaluate it once as an aggregate feeding a
+    left-semi join, not per outer row.  Quantities are integral, so
+    the HAVING boundary is exact on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q18_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q18_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q18_customer")
+    return spark.sql("""
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+               round(o.o_totalprice, 4) AS totalprice,
+               round(sum(l.l_quantity), 4) AS total_qty
+        FROM _q18_customer c
+        JOIN _q18_orders o ON c.c_custkey = o.o_custkey
+        JOIN _q18_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l2.l_orderkey FROM _q18_lineitem l2
+          GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 300)
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """)
+
+
 def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery + anti-correlated NOT EXISTS (TPC-H Q22
     shape): customers with an above-average (positive-balance)

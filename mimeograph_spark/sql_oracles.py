@@ -1465,6 +1465,28 @@ WHERE s.s_suppkey IN (
     WHERE l2.l_partkey = l.l_partkey)
 )
 """,
+    "q16_supplier_counts": """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 5, 10, 15, 20)
+  AND p.p_type <> 'PROMO'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    "q18_large_orders": """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 4) AS totalprice,
+       round(sum(l.l_quantity), 4) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l2.l_orderkey FROM lineitem l2
+  GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 300)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
     "q22_dormant_customers": """
 SELECT c.c_mktsegment,
        count(*) AS n_customers,

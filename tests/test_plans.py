@@ -564,3 +564,22 @@ def test_rolling_range_window_single_shuffle(spark):
         assert "Window" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_q16_not_in_rewrites_to_null_aware_anti_join(spark):
+    """NOT IN must execute as a null-aware anti join (or plain
+    LeftAnti once the planner proves the subquery side non-null) —
+    never a per-row Subquery probe."""
+    df = relational.q16_supplier_counts(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in physical, physical
+    assert "Subquery" not in physical, physical
+
+
+def test_q18_in_having_rewrites_to_semi_join(spark):
+    """The IN over a grouped-HAVING subquery must run once as an
+    aggregate feeding a left-semi join against orders."""
+    df = relational.q18_large_orders(spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in physical, physical
+    assert "Subquery" not in physical, physical
