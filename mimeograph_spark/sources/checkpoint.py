@@ -348,6 +348,57 @@ class CheckpointTable:
             )
         return snap
 
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg's expire_snapshots: drop the oldest snapshots from
+        the manifest (keeping the newest `keep_last`), then delete
+        their data dirs.  Frees storage at the price of truncating
+        time travel — `read(as_of=...)` for an expired id raises,
+        exactly the Iceberg contract.  Returns expired ids.
+
+        Ordering is crash-safe like compact(): the manifest commit
+        happens first (under the lock), so a crash mid-delete leaves
+        only unreferenced dirs — garbage for remove_orphans, never a
+        manifest pointing at missing data.  NOTE: expiry removes
+        whole snapshots, so on a merge-on-read table it must keep any
+        snapshot whose rows are still the latest version of some key
+        — use compact_current() first to fold history, then expire."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        fd, lock_path = self._acquire_lock()
+        try:
+            snaps = self._read_manifest()["snapshots"]
+            if len(snaps) <= keep_last:
+                return []
+            expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+            self._commit_manifest({"snapshots": kept})
+        finally:
+            self._release_lock(fd, lock_path)
+        for s in expired:
+            shutil.rmtree(
+                os.path.join(self.path, s["dir"]), ignore_errors=True
+            )
+        return [s["id"] for s in expired]
+
+    def remove_orphans(self) -> list[str]:
+        """Iceberg's remove_orphan_files: delete snapshot dirs on disk
+        that no manifest entry references — the leftovers of writers
+        that crashed between data write and manifest commit.  Safe by
+        construction: readers only ever resolve dirs THROUGH the
+        manifest, so an unreferenced dir is invisible garbage.
+        Returns the removed dir names."""
+        referenced = {s["dir"] for s in self.snapshots()}
+        removed = []
+        for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
+            if (
+                os.path.isdir(full)
+                and name.startswith("snap-")
+                and name not in referenced
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(name)
+        return removed
+
     def truncate(self) -> None:
         for s in self.snapshots():
             shutil.rmtree(os.path.join(self.path, s["dir"]), ignore_errors=True)

@@ -253,3 +253,40 @@ def test_schema_evolution_add_column(spark, tmp_path):
 
     cur = {r["k"]: r["lang"] for r in ckpt.read_current(spark, "k").collect()}
     assert cur == {1: None, 2: "en"}
+
+
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    """Table maintenance: expiry drops the oldest snapshots (data
+    gone, time travel to them raises, newest state intact), and
+    orphan removal deletes only unreferenced crash-leftover dirs."""
+    import os
+
+    import pytest
+
+    from mimeograph_spark.sources.checkpoint import CheckpointTable
+
+    ckpt = CheckpointTable(str(tmp_path / "maint"))
+    ids = []
+    for i in range(3):
+        snap = ckpt.append(
+            spark.createDataFrame([(i,)], "v long"), meta={"i": i}
+        )
+        ids.append(snap["id"])
+
+    # orphan: a data dir written but never committed
+    orphan = tmp_path / "maint" / "snap-deadbeef0000"
+    os.makedirs(orphan)
+    (orphan / "part-junk.parquet").write_bytes(b"x")
+
+    removed = ckpt.remove_orphans()
+    assert removed == ["snap-deadbeef0000"]
+    assert not orphan.exists()
+    # referenced dirs untouched
+    assert ckpt.read(spark).count() == 3
+
+    expired = ckpt.expire_snapshots(keep_last=1)
+    assert expired == ids[:2]
+    assert [s["id"] for s in ckpt.snapshots()] == [ids[2]]
+    assert {r["v"] for r in ckpt.read(spark).collect()} == {2}
+    with pytest.raises(KeyError):
+        ckpt.read(spark, as_of=ids[0])
