@@ -476,6 +476,20 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (functions/profile.py): null/distinct/minmax/
+    mode per column via ONE unpivot scan — N columns cost one pass
+    over the table plus a (col, val) shuffle, not N passes.  Profiled
+    as strings (collation-identical across engines; the oracle may
+    afford per-column scans, the Spark side may not)."""
+    from mimeograph_spark.functions.profile import profile_columns
+
+    orders = _read(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ("o_orderstatus", "o_orderpriority", "o_custkey")
+    )
+
+
 def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global row index (functions/ids.py): rank of doc_id as
     contiguous 0..n-1 via two-phase range-bucket ranking — the only
@@ -785,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pack_sequences": q_pack_sequences,
         "global_index": q_global_index,
+        "profile_columns": q_profile_columns,
         "stratified_sample": q_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_percentiles": q_length_percentiles,
@@ -836,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": sql_oracles.repetition_stats_sql(),
         "pack_sequences": sql_oracles.pack_sequences_sql(),
         "global_index": sql_oracles.GLOBAL_INDEX_ORACLE,
+        "profile_columns": sql_oracles.profile_columns_sql(),
         "stratified_sample": sql_oracles.stratified_sample_sql(cap=50),
         "tfidf_top_terms": sql_oracles.tfidf_top_terms_sql(k=3),
         "length_percentiles": sql_oracles.LENGTH_PERCENTILES_ORACLE,

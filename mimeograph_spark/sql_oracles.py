@@ -656,6 +656,37 @@ FROM m GROUP BY user_id
 """
 
 
+def profile_columns_sql(cols: tuple = ("o_orderstatus", "o_orderpriority", "o_custkey")) -> str:
+    """Mirrors functions/profile.profile_columns over orders: one
+    UNION ALL branch per column (the oracle may afford N scans; the
+    Spark side is pinned to one)."""
+    base_parts, top_parts = [], []
+    for c in cols:
+        v = f"CAST({c} AS VARCHAR)"
+        base_parts.append(f"""
+  SELECT '{c}' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {v} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(count(DISTINCT {v}) AS BIGINT) AS n_distinct,
+         min({v}) AS min_val, max({v}) AS max_val
+  FROM orders""")
+        top_parts.append(f"""
+  SELECT '{c}' AS col_name, val AS top_val, cnt AS top_count FROM (
+    SELECT {v} AS val, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, {v} DESC) AS rn
+    FROM orders WHERE {v} IS NOT NULL GROUP BY {v}
+  ) WHERE rn = 1""")
+    return f"""
+WITH base AS ({' UNION ALL '.join(base_parts)}),
+top AS ({' UNION ALL '.join(top_parts)})
+SELECT base.col_name, n_rows, n_nulls, n_distinct, min_val, max_val,
+       coalesce(top_val, '') AS top_val,
+       CAST(coalesce(top_count, 0) AS BIGINT) AS top_count
+FROM base LEFT JOIN top USING (col_name)
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -583,3 +583,28 @@ def test_q18_in_having_rewrites_to_semi_join(spark):
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in physical, physical
     assert "Subquery" not in physical, physical
+
+
+def test_profile_columns_single_scan_no_join(spark):
+    """The whole profile must derive from one scan of the table: the
+    executed plan may contain exactly one FileScan and zero joins —
+    N profiled columns cost one pass, not N."""
+    from mimeograph_spark.functions.profile import profile_columns
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        jplan = (
+            profile_columns(
+                orders, ("o_orderstatus", "o_orderpriority", "o_custkey")
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+        )
+        nodes = _physical_nodes(jplan)
+        scans = [n for n in nodes if "Scan" in n]
+        assert len(scans) == 1, nodes
+        assert not any("Join" in n for n in nodes), nodes
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
