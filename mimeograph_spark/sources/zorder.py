@@ -49,17 +49,35 @@ def write_zordered(
     a_col: str,
     b_col: str,
     bits: int = 16,
-    n_files: int = 8,
+    n_tiles: int = 8,
 ) -> None:
     """Write `df` as parquet laid out along the Morton curve of
-    (a_col, b_col): range-partition by z-value into ~n_files files,
-    sort within each, drop the key.  File min/max stats then bound
-    BOTH columns per file."""
-    staged = df.withColumn("_z", zvalue(F.col(a_col), F.col(b_col), bits))
+    (a_col, b_col): the top log2(n_tiles) bits of the z-value become
+    the partition directory — each directory is EXACTLY one quadtree
+    tile of the (a, b) space — and rows are z-sorted within it.  File
+    min/max stats then bound BOTH columns per file by construction.
+
+    Deterministic on purpose: `repartitionByRange(z)` would balance
+    rows via SAMPLING, whose seed depends on plan identity — file
+    boundaries (and thus which files straddle a major Morton jump)
+    change run to run.  Top-bit tiling is a pure function of the
+    data: reproducible layout, tile-aligned files, and the `_zf`
+    partition column additionally gives directory-level pruning for
+    z-range predicates.  Trade-off: tiles follow the KEY space, not
+    the row count — heavily skewed (a, b) distributions get uneven
+    tiles and should pre-map the keys (same caveat as ids.py's range
+    buckets)."""
+    k = n_tiles.bit_length() - 1
+    if (1 << k) != n_tiles or k > 2 * bits:
+        raise ValueError("n_tiles must be a power of two <= 4^bits")
+    staged = df.withColumn(
+        "_z", zvalue(F.col(a_col), F.col(b_col), bits)
+    ).withColumn("_zf", F.shiftright("_z", 2 * bits - k))
     (
-        staged.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+        staged.repartition(n_tiles, "_zf")
+        .sortWithinPartitions("_zf", "_z")
         .drop("_z")
-        .write.mode("overwrite")
+        .write.partitionBy("_zf")
+        .mode("overwrite")
         .parquet(path)
     )

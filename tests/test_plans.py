@@ -459,7 +459,7 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
 
     def file_spans(path, cols):
         spans = []
-        for f in _glob.glob(f"{path}/*.parquet"):
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True):
             md = pq.ParquetFile(f).metadata
             lo = {c: None for c in cols}
             hi = {c: None for c in cols}
@@ -480,7 +480,7 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         going by the same min/max stats the parquet reader prunes
         with."""
         n = 0
-        for f in _glob.glob(f"{path}/*.parquet"):
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True):
             md = pq.ParquetFile(f).metadata
             lo = hi = None
             for rg in range(md.num_row_groups):
@@ -496,9 +496,12 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         return n
 
     zpath = str(tmp_path / "zorder")
-    write_zordered(grid, zpath, "x", "y", bits=8, n_files=16)
-    n_zfiles = len(_glob.glob(f"{zpath}/*.parquet"))
-    assert n_zfiles >= 12
+    write_zordered(grid, zpath, "x", "y", bits=8, n_tiles=16)
+    n_zfiles = len(_glob.glob(f"{zpath}/**/*.parquet", recursive=True))
+    assert n_zfiles >= 16
+    # deterministic tiling: every file covers exactly one 64x64 tile
+    for s_ in file_spans(zpath, ("x", "y")):
+        assert s_["x"] <= 63 and s_["y"] <= 63, s_
 
     linpath = str(tmp_path / "linear")
     (
@@ -507,13 +510,13 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         .write.mode("overwrite")
         .parquet(linpath)
     )
-    n_lfiles = len(_glob.glob(f"{linpath}/*.parquet"))
+    n_lfiles = len(_glob.glob(f"{linpath}/**/*.parquet", recursive=True))
 
     for probe in (40, 200):
-        # z-order prunes on BOTH dimensions (each point filter hits a
-        # strict minority of files; a perfect tiling would hit ~4/16)
-        assert files_hit(zpath, "x", probe) <= n_zfiles // 2, probe
-        assert files_hit(zpath, "y", probe) <= n_zfiles // 2, probe
+        # z-order prunes on BOTH dimensions: a point filter touches
+        # exactly one 4-tile row/column of the 4x4 tile grid
+        assert files_hit(zpath, "x", probe) <= n_zfiles // 4 + 1, probe
+        assert files_hit(zpath, "y", probe) <= n_zfiles // 4 + 1, probe
         # the single-column sort cannot prune the second dimension:
         # every file's y range contains every probe
         assert files_hit(linpath, "y", probe) == n_lfiles, probe
