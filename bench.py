@@ -164,7 +164,8 @@ HEADLINE_QUERIES = (
     "q20_excess_shippers", "q22_dormant_customers",
     "tfidf_top_terms", "length_percentiles", "zorder_values",
     "reading_order", "html_scored_content", "interleaved_examples",
-    "rolling_window_revenue", "cogroup_asof_lag",
+    "rolling_window_revenue", "cogroup_asof_lag", "profile_columns",
+    "q16_supplier_counts", "q18_large_orders",
 )
 
 
