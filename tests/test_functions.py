@@ -752,3 +752,26 @@ def test_cogrouped_asof_lag_edges(spark):
     assert rows[2]["n_matched"] == 0 and rows[2]["total_lag_us"] == 0
     # user 3's only view is AFTER the purchase
     assert rows[3]["n_matched"] == 0
+
+
+def test_profile_columns_null_and_empty_edges(spark):
+    """Profiling degenerate shapes: an all-null column reports full
+    null count with empty min/max/mode, and an empty frame yields an
+    empty profile rather than erroring."""
+    from mimeograph_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), (None, None)],
+        "s string, dead string",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ("s", "dead")).collect()}
+    assert rows["dead"]["n_rows"] == 3
+    assert rows["dead"]["n_nulls"] == 3
+    assert rows["dead"]["n_distinct"] == 0
+    assert rows["dead"]["min_val"] is None and rows["dead"]["max_val"] is None
+    assert rows["dead"]["top_val"] == "" and rows["dead"]["top_count"] == 0
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["top_val"] == "b"  # tie on count -> greatest value
+
+    empty = spark.createDataFrame([], "s string")
+    assert profile_columns(empty, ("s",)).count() == 0
