@@ -476,6 +476,19 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample_topk): top-50 documents by
+    Efraimidis-Spirakis priority ln(u)/w with w = n_chars and u
+    hash-derived — sampling proportional to length, reproducible on
+    any cluster and replayed exactly by the oracle.  Physically a
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    from mimeograph_spark.functions.sampling import weighted_sample_topk
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(docs, "n_chars", k=50)
+
+
 def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (functions/profile.py): null/distinct/minmax/
     mode per column via ONE unpivot scan — N columns cost one pass
@@ -800,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "global_index": q_global_index,
         "profile_columns": q_profile_columns,
+        "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "length_percentiles": q_length_percentiles,
@@ -852,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": sql_oracles.pack_sequences_sql(),
         "global_index": sql_oracles.GLOBAL_INDEX_ORACLE,
         "profile_columns": sql_oracles.profile_columns_sql(),
+        "weighted_sample": sql_oracles.weighted_sample_sql(k=50),
         "stratified_sample": sql_oracles.stratified_sample_sql(cap=50),
         "tfidf_top_terms": sql_oracles.tfidf_top_terms_sql(k=3),
         "length_percentiles": sql_oracles.LENGTH_PERCENTILES_ORACLE,

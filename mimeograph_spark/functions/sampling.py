@@ -110,6 +110,38 @@ def stratified_sample_exact(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis-Spirakis exponential-rank scheme): each row gets
+    priority ln(u) / w for a hash-derived uniform u in (0,1), and the
+    k LARGEST priorities are the sample — equivalent to sampling
+    proportional to weight, but the randomness comes from md5 of the
+    id, so the chosen set is a pure function of (ids, weights):
+    reproducible on any cluster size and replayable by the SQL
+    oracle, which seeded-RNG weighted sampling is not.
+
+    Scale shape: a global top-k over a priority expression is
+    TakeOrderedAndProject — per-partition heaps of size k merged on
+    the driver, no global sort, no shuffle of the data."""
+    u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
+        float(N_BUCKETS)
+    )
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_priority", priority)
+        .orderBy(F.col("_priority").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn("priority", F.round("_priority", 6))
+        .drop("_priority")
+    )
+
+
 def with_split(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -687,6 +687,25 @@ FROM base LEFT JOIN top USING (col_name)
 """
 
 
+def weighted_sample_sql(
+    k: int = 50, n_buckets: int = 10000, salt: str = "wsample"
+) -> str:
+    """Mirrors sampling.weighted_sample_topk over documents weighted
+    by n_chars: same md5-uniform, same ln(u)/w priority, same
+    (priority desc, doc_id) order."""
+    return f"""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)),
+                1, 8))::BIGINT % {n_buckets} + 0.5) / {n_buckets})
+           / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+)
+SELECT doc_id, n_chars, round(p, 6) AS priority
+FROM pr ORDER BY p DESC, doc_id LIMIT {k}
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -775,3 +775,31 @@ def test_profile_columns_null_and_empty_edges(spark):
 
     empty = spark.createDataFrame([], "s string")
     assert profile_columns(empty, ("s",)).count() == 0
+
+
+def test_weighted_sample_properties(spark):
+    """Weighted sampling must be partition-invariant (pure function
+    of ids + weights), favor heavy rows (a 100x-weight minority
+    dominates the sample), and plan as TakeOrderedAndProject — a
+    per-partition top-k merge, never a global sort."""
+    from mimeograph_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, 10000 if i < 50 else 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    a = [r["doc_id"] for r in weighted_sample_topk(df, "w", k=40).collect()]
+    b = [
+        r["doc_id"]
+        for r in weighted_sample_topk(df.repartition(13), "w", k=40).collect()
+    ]
+    assert sorted(a) == sorted(b)
+    heavy = sum(1 for i in a if i < 50)
+    assert heavy >= 25, heavy  # 5% of rows, 100x weight -> dominates
+
+    plan = (
+        weighted_sample_topk(df, "w", k=40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
