@@ -165,7 +165,7 @@ HEADLINE_QUERIES = (
     "tfidf_top_terms", "length_percentiles", "zorder_values",
     "reading_order", "html_scored_content", "interleaved_examples",
     "rolling_window_revenue", "cogroup_asof_lag", "profile_columns",
-    "q16_supplier_counts", "q18_large_orders",
+    "q16_supplier_counts", "q18_large_orders", "weighted_sample",
 )
 
 
