@@ -103,3 +103,48 @@ def dedup_event_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> StreamingQuery:
+    """Event-time SESSION windows on a stream: variable-length
+    windows that extend while events keep arriving within `gap` and
+    close when the watermark passes last_event + gap.  Unlike fixed
+    tumbling windows, the engine must MERGE overlapping candidate
+    windows as late-but-in-bound events bridge two sessions — the
+    stateful behavior this function exists to pin; the batch twin is
+    the same session_window aggregation over the accumulated input
+    (and the lag/cumsum formulation relational.events_sessionize
+    uses)."""
+    ev = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(input_dir)
+    agg = (
+        ev.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -611,3 +611,41 @@ def test_profile_columns_single_scan_no_join(spark):
         assert not any("Join" in n for n in nodes), nodes
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_interleaved_assembly_is_narrow_zero_exchange(spark):
+    """Example assembly is pure per-row array work: the executed plan
+    must contain no Exchange, no Join, no Python — one scan, one
+    projection chain."""
+    from mimeograph_spark.corpus import derive_documents
+    from mimeograph_spark.plans.pipeline import assemble_interleaved
+
+    docs = derive_documents(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = (
+        assemble_interleaved(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Exchange", "Join", "EvalPython"):
+        assert bad not in plan, plan
+
+
+def test_html_scored_extraction_is_narrow_single_pass(spark):
+    """The scored variant must keep the cutoff variant's execution
+    shape: zero exchanges, zero Python — block scoring including the
+    DOM-hint regexes stays inside one codegen projection."""
+    from mimeograph_spark.functions.html_extract import (
+        extract_main_content_scored,
+        synth_html,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        extract_main_content_scored(
+            synth_html(F.col("doc_id"), F.col("text"))
+        ).alias("r")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Join", "EvalPython"):
+        assert bad not in plan, plan

@@ -349,3 +349,73 @@ def test_stream_upserts_resolve_to_latest_version(spark, tmp_path):
         ).collect()
     }
     assert old[1] == "v1 of one"
+
+
+def test_streaming_session_windows_merge_and_match_batch(spark, tmp_path):
+    """Streaming session windows: a bridging event must MERGE two
+    candidate sessions into one; finalized sessions equal the batch
+    session_window aggregation over the same accumulated input."""
+    from datetime import datetime
+
+    from mimeograph_spark.streaming.event_time import (
+        EVENT_STREAM_SCHEMA,
+        session_window_counts,
+    )
+
+    input_dir = str(tmp_path / "sw_in")
+    output_dir = str(tmp_path / "sw_out")
+    ckpt_dir = str(tmp_path / "sw_ckpt")
+
+    def arrive(*times):
+        rows = [
+            (i, "x", datetime(2024, 1, 1, h, m), 1.0)
+            for i, (h, m) in enumerate(times)
+        ]
+        spark.createDataFrame(rows, EVENT_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def run():
+        q = session_window_counts(spark, input_dir, output_dir, ckpt_dir)
+        q.awaitTermination(120)
+
+    # batch 1: one open session; watermark after this batch = 10:00
+    arrive((10, 0), (10, 10))
+    run()
+    # batch 2: a bridging event within the watermark bound extends
+    # the open session (session MERGE in state), plus a separate
+    # later cluster
+    arrive((10, 35), (11, 20), (11, 25))
+    run()
+    arrive((15, 0),)   # watermark -> finalize all earlier sessions
+    run()
+    arrive((20, 0),)   # one more batch so 15:00's own session finalizes
+    run()
+
+    got = {
+        (r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"),
+         r["n_events"])
+        for r in spark.read.parquet(output_dir).collect()
+    }
+    # merged first session: 10:00-10:35(+30) with 3 events;
+    # second session 11:20-11:25(+30) with 2
+    assert ("10:00", "11:05", 3) in got, got
+    assert ("11:20", "11:55", 2) in got, got
+
+    # twin check: batch session_window over the accumulated input
+    # (sessions the stream has finalized must match exactly)
+    batch = (
+        spark.read.parquet(input_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"), "count"
+        )
+    )
+    bt = {
+        (r["s"].strftime("%H:%M"), r["e"].strftime("%H:%M"), r["count"])
+        for r in batch.collect()
+    }
+    for row in got:
+        assert row in bt, (row, bt)
