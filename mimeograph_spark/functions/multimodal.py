@@ -59,16 +59,46 @@ def media_blob(ref: str, payload_len: int = 256) -> bytes:
     )
 
 
+def media_blob_col(ref, payload_len: int = 256):
+    """Column form of :func:`media_blob`: MAGIC + packed
+    (width, height, modality) header + md5 counter-block stream,
+    entirely in JVM built-ins (md5/unhex/hex/lpad/concat) — byte-for-
+    byte equal to the Python reference (pinned by test), zero Python
+    in the plan.  NULL ref propagates to NULL blob."""
+    hhex = F.md5(ref)
+
+    def byte_at(pos: int):
+        return F.conv(F.substring(hhex, pos, 2), 16, 10).cast("int")
+
+    def be_bytes(col, n_hex: int):
+        return F.unhex(F.lpad(F.lower(F.hex(col)), n_hex, "0"))
+
+    width = F.lit(16) + byte_at(1) % 240
+    height = F.lit(16) + byte_at(3) % 240
+    modality = byte_at(5) % 3
+    n_blocks = -(-payload_len // 16)  # ceil: md5 digests are 16 bytes
+    stream = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(ref, F.lit(f":{i}"))))
+            for i in range(n_blocks)
+        ]
+    )
+    if payload_len % 16:
+        stream = F.substring(stream, 1, payload_len)
+    return F.concat(
+        F.lit(MAGIC),
+        be_bytes(width, 4),
+        be_bytes(height, 4),
+        be_bytes(modality, 2),
+        stream,
+    )
+
+
 def with_media_blob(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
-    """Attach a deterministic binary payload column for each ref using
-    built-ins only (unhex of an md5 chain) — used by tests/benchmarks
+    """Attach the deterministic binary payload column for each ref —
+    pure codegen (:func:`media_blob_col`); used by tests/benchmarks
     where real object-store bytes would be fetched instead."""
-
-    @F.pandas_udf("binary")
-    def blob_udf(refs: pd.Series) -> pd.Series:
-        return refs.map(lambda r: media_blob(r) if r is not None else None)
-
-    return df.withColumn("media_blob", blob_udf(F.col(ref_col)))
+    return df.withColumn("media_blob", media_blob_col(F.col(ref_col)))
 
 
 def _decode_real(payload: bytes) -> dict:  # pragma: no cover

@@ -803,3 +803,23 @@ def test_weighted_sample_properties(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_media_blob_column_equals_python_reference(spark):
+    """The codegen blob (md5/unhex/hex built-ins) must be
+    byte-identical to the Python reference implementation, and NULL
+    refs must propagate."""
+    from mimeograph_spark.functions.multimodal import (
+        media_blob,
+        media_blob_col,
+    )
+
+    refs = [f"pg:{i}:{j}" for i in range(10) for j in range(5)]
+    df = spark.createDataFrame([(r,) for r in refs] + [(None,)], "ref string")
+    got = {
+        r["ref"]: (bytes(r["b"]) if r["b"] is not None else None)
+        for r in df.select("ref", media_blob_col(F.col("ref")).alias("b")).collect()
+    }
+    for r in refs:
+        assert got[r] == media_blob(r), r
+    assert got[None] is None
