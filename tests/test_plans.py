@@ -649,3 +649,63 @@ def test_html_scored_extraction_is_narrow_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "Join", "EvalPython"):
         assert bad not in plan, plan
+
+
+def test_repetition_stats_single_scan(spark):
+    """All repetition signals (doc-level token stats AND gram counts)
+    must derive from ONE scan of the corpus — the doc stats ride the
+    exploded gram rows instead of forking a second consumer branch
+    (round 3's audit measured 2 file scans in the join-based form).
+    Zero joins, zero caches required."""
+    from mimeograph_spark.functions.repetition import repetition_stats
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        jplan = (
+            repetition_stats(docs)._jdf.queryExecution().executedPlan()
+        )
+        nodes = _physical_nodes(jplan)
+        scans = [n for n in nodes if "Scan" in n]
+        assert len(scans) == 1, nodes
+        assert not any("Join" in n for n in nodes), nodes
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_tfidf_single_scan(spark):
+    """The tf frame feeds three consumers (score join, document
+    frequency, corpus doc count); persisting it bounds the executed
+    plan to ONE file scan of the corpus — every other leaf is an
+    InMemoryTableScan of the cached (doc, term, tf) frame (round 3's
+    audit measured 3 scans with a double tokenize before the cache).
+    Once the cache is warm the final plan performs ZERO file scans of
+    its own — all three leaves read the cached frame."""
+    from mimeograph_spark.cacheutil import unpersist_deps
+    from mimeograph_spark.functions.tfidf import tfidf_top_terms
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    out = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        out = tfidf_top_terms(docs, k=3)
+        assert out.count() > 0
+        nodes = _physical_nodes(out._jdf.queryExecution().executedPlan())
+        file_scans = [
+            n for n in nodes
+            if ("FileScan" in n or n == "Scan parquet")
+            and "InMemoryTableScan" not in n
+        ]
+        imts = [n for n in nodes if "InMemoryTableScan" in n]
+        assert len(file_scans) == 0, nodes
+        assert len(imts) == 3, nodes
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if out is not None:
+            assert unpersist_deps(out) == 1
