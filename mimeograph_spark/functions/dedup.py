@@ -359,6 +359,15 @@ def resolve_clusters(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # exhausting max_iters without a zero-change round means the
+        # labels are NOT canonical assignments — silently returning
+        # them would corrupt every downstream keep/drop decision
+        raise RuntimeError(
+            f"resolve_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — "
+            "pointer jumping needs ~log2(cluster diameter) rounds"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
     )

@@ -128,13 +128,20 @@ def weighted_sample_topk(
 
     Scale shape: a global top-k over a priority expression is
     TakeOrderedAndProject — per-partition heaps of size k merged on
-    the driver, no global sort, no shuffle of the data."""
+    the driver, no global sort, no shuffle of the data.
+
+    Rows with weight <= 0 (or NULL) are excluded: the
+    Efraimidis-Spirakis scheme is defined for positive weights only,
+    and engines diverge outside it (Spark's ln(u)/0 yields NULL —
+    sorted last — while DuckDB yields -inf); the oracle mirrors the
+    filter."""
     u = (hash_bucket(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
         float(N_BUCKETS)
     )
     priority = F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("_priority", priority)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_priority", priority)
         .orderBy(F.col("_priority").desc(), F.col(id_col))
         .limit(k)
         .withColumn("priority", F.round("_priority", 6))

@@ -71,15 +71,25 @@ class CheckpointTable:
     def snapshots(self) -> list[dict]:
         return self._read_manifest()["snapshots"]
 
-    def _acquire_lock(self) -> tuple[int, str]:
+    def _acquire_lock(self) -> tuple[int, str, str]:
         """Serialize manifest read-modify-commit sections with an
         O_EXCL lock file.  Crash-safety: a writer killed between lock
         creation and unlink must not block writers forever — a lock
         older than lock_stale_after is broken via RENAME to a unique
         name, which atomically claims the takeover for exactly one
         contender (a plain unlink could delete a lock another breaker
-        just re-created)."""
+        just re-created).
+
+        Each lock carries a unique OWNERSHIP TOKEN.  A live writer
+        whose lock was broken (a GC/FS stall longer than
+        lock_stale_after inside the critical section) discovers the
+        loss when it re-verifies the token — before committing the
+        manifest and before unlinking on release — and raises instead
+        of committing over the usurper's update or deleting the
+        usurper's fresh lock.  (A real Iceberg catalog gets the same
+        guarantee from its compare-and-swap commit.)"""
         lock_path = os.path.join(self.path, ".manifest.lock")
+        token = uuid.uuid4().hex
         deadline = time.time() + 60.0
         while True:
             try:
@@ -87,10 +97,12 @@ class CheckpointTable:
                 os.write(
                     fd,
                     json.dumps(
-                        {"pid": os.getpid(), "ts": time.time()}
+                        {"pid": os.getpid(), "ts": time.time(),
+                         "token": token}
                     ).encode(),
                 )
-                return fd, lock_path
+                os.fsync(fd)
+                return fd, lock_path, token
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(lock_path).st_mtime
@@ -113,9 +125,35 @@ class CheckpointTable:
                 time.sleep(0.05)
 
     @staticmethod
-    def _release_lock(fd: int, lock_path: str) -> None:
+    def _owns_lock(lock_path: str, token: str) -> bool:
+        try:
+            with open(lock_path) as f:
+                return json.load(f).get("token") == token
+        except (FileNotFoundError, ValueError):
+            return False
+
+    def _commit_manifest_owned(
+        self, manifest: dict, lock_path: str, token: str
+    ) -> None:
+        """Commit only while still holding the lock: if the token no
+        longer matches (a stale-takeover fired during a stall), raise
+        — committing would silently overwrite the usurper's manifest
+        update (lost update)."""
+        if not self._owns_lock(lock_path, token):
+            raise RuntimeError(
+                "manifest lock ownership lost (stale-takeover while "
+                "this writer stalled inside the critical section); "
+                "refusing to commit — retry the operation"
+            )
+        self._commit_manifest(manifest)
+
+    @staticmethod
+    def _release_lock(fd: int, lock_path: str, token: str) -> None:
         os.close(fd)
-        os.unlink(lock_path)
+        # unlink only our OWN lock: after a stale-takeover the file at
+        # lock_path is a successor's fresh lock, not ours
+        if CheckpointTable._owns_lock(lock_path, token):
+            os.unlink(lock_path)
 
     def append(self, df: DataFrame, meta: dict | None = None) -> dict:
         """Write df as a new snapshot; commit it to the manifest.
@@ -131,7 +169,7 @@ class CheckpointTable:
         snap_id = f"snap-{uuid.uuid4().hex[:12]}"
         data_dir = os.path.join(self.path, snap_id)
         df.write.mode("overwrite").parquet(data_dir)
-        fd, lock_path = self._acquire_lock()
+        fd, lock_path, token = self._acquire_lock()
         try:
             manifest = self._read_manifest()
             snap = {
@@ -141,9 +179,9 @@ class CheckpointTable:
                 "meta": meta or {},
             }
             manifest["snapshots"].append(snap)
-            self._commit_manifest(manifest)
+            self._commit_manifest_owned(manifest, lock_path, token)
         finally:
-            self._release_lock(fd, lock_path)
+            self._release_lock(fd, lock_path, token)
         return snap
 
     def _snaps_upto(self, as_of: str | None) -> list[dict]:
@@ -236,9 +274,17 @@ class CheckpointTable:
         The resolution is one window over the key (latest snapshot
         sequence wins); at scale this is the standard merge-on-read
         cost and is bounded by compacting (:meth:`compact_current`)."""
+        snaps = self._snaps_upto(as_of)
+        return self._resolve_current(spark, key, snaps)
+
+    def _resolve_current(
+        self, spark: SparkSession, key: str, snaps: list[dict]
+    ) -> DataFrame | None:
+        """Merge-on-read resolution over an EXPLICIT snapshot list —
+        shared by read_current (manifest view) and compact_current
+        (captured view, so concurrent appends are never folded in)."""
         from pyspark.sql import Window
 
-        snaps = self._snaps_upto(as_of)
         if not snaps:
             return None
         parts = []
@@ -268,7 +314,12 @@ class CheckpointTable:
         old_snaps = self.snapshots()
         if len(old_snaps) <= 1:
             return None
-        resolved = self.read_current(spark, key)
+        # Resolve from the CAPTURED snapshot list, not a fresh manifest
+        # read: a snapshot committed between capture and resolution
+        # would otherwise be folded into the compacted output AND kept
+        # in `newer`, double-counting its rows for raw read()/
+        # read_since() consumers.
+        resolved = self._resolve_current(spark, key, old_snaps)
         snap_id = f"snap-{uuid.uuid4().hex[:12]}"
         resolved.write.mode("overwrite").parquet(
             os.path.join(self.path, snap_id)
@@ -282,7 +333,7 @@ class CheckpointTable:
                 "resolved_key": key,
             },
         }
-        fd, lock_path = self._acquire_lock()
+        fd, lock_path, token = self._acquire_lock()
         try:
             compacted_ids = {s["id"] for s in old_snaps}
             newer = [
@@ -290,9 +341,11 @@ class CheckpointTable:
                 for s in self._read_manifest()["snapshots"]
                 if s["id"] not in compacted_ids
             ]
-            self._commit_manifest({"snapshots": [snap] + newer})
+            self._commit_manifest_owned(
+                {"snapshots": [snap] + newer}, lock_path, token
+            )
         finally:
-            self._release_lock(fd, lock_path)
+            self._release_lock(fd, lock_path, token)
         for s in old_snaps:
             shutil.rmtree(
                 os.path.join(self.path, s["dir"]), ignore_errors=True
@@ -328,7 +381,7 @@ class CheckpointTable:
             "committed_at": time.time(),
             "meta": {"compacted_from": [s["id"] for s in old_snaps]},
         }
-        fd, lock_path = self._acquire_lock()
+        fd, lock_path, token = self._acquire_lock()
         try:
             # re-read under the lock: snapshots appended while the
             # rewrite ran are NOT covered by the compacted file and
@@ -339,9 +392,11 @@ class CheckpointTable:
                 for s in self._read_manifest()["snapshots"]
                 if s["id"] not in compacted_ids
             ]
-            self._commit_manifest({"snapshots": [snap] + newer})
+            self._commit_manifest_owned(
+                {"snapshots": [snap] + newer}, lock_path, token
+            )
         finally:
-            self._release_lock(fd, lock_path)
+            self._release_lock(fd, lock_path, token)
         for s in old_snaps:
             shutil.rmtree(
                 os.path.join(self.path, s["dir"]), ignore_errors=True
@@ -364,15 +419,15 @@ class CheckpointTable:
         — use compact_current() first to fold history, then expire."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        fd, lock_path = self._acquire_lock()
+        fd, lock_path, token = self._acquire_lock()
         try:
             snaps = self._read_manifest()["snapshots"]
             if len(snaps) <= keep_last:
                 return []
             expired, kept = snaps[:-keep_last], snaps[-keep_last:]
-            self._commit_manifest({"snapshots": kept})
+            self._commit_manifest_owned({"snapshots": kept}, lock_path, token)
         finally:
-            self._release_lock(fd, lock_path)
+            self._release_lock(fd, lock_path, token)
         for s in expired:
             shutil.rmtree(
                 os.path.join(self.path, s["dir"]), ignore_errors=True

@@ -700,6 +700,7 @@ WITH pr AS (
                 1, 8))::BIGINT % {n_buckets} + 0.5) / {n_buckets})
            / CAST(n_chars AS DOUBLE) AS p
   FROM documents
+  WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, round(p, 6) AS priority
 FROM pr ORDER BY p DESC, doc_id LIMIT {k}

@@ -290,3 +290,77 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
     assert {r["v"] for r in ckpt.read(spark).collect()} == {2}
     with pytest.raises(KeyError):
         ckpt.read(spark, as_of=ids[0])
+
+
+def test_lost_lock_ownership_refuses_commit(spark, tmp_path):
+    """A writer whose lock was stale-taken-over mid-critical-section
+    (GC/FS stall) must NOT commit the manifest over the usurper's
+    update, and its release must NOT unlink the usurper's fresh lock."""
+    import json
+    import os
+
+    ckpt = CheckpointTable(str(tmp_path / "own"))
+    fd, lock_path, token = ckpt._acquire_lock()
+    # simulate a takeover: usurper replaces the lock with its own
+    os.unlink(lock_path)
+    with open(lock_path, "w") as f:
+        json.dump({"pid": 0, "ts": 0, "token": "usurper"}, f)
+    with pytest.raises(RuntimeError, match="ownership lost"):
+        ckpt._commit_manifest_owned(
+            {"snapshots": []}, lock_path, token
+        )
+    ckpt._release_lock(fd, lock_path, token)
+    # the usurper's lock survives our release
+    assert os.path.exists(lock_path)
+    with open(lock_path) as f:
+        assert json.load(f)["token"] == "usurper"
+    os.unlink(lock_path)
+
+
+def test_compact_current_concurrent_append_not_double_counted(
+    spark, tmp_path
+):
+    """A snapshot committed after compact_current captures its
+    snapshot list must survive as a SEPARATE delta — never folded into
+    the compacted output AND kept in `newer` (which would double-count
+    its rows for raw read()/read_since consumers)."""
+    ckpt = CheckpointTable(str(tmp_path / "ccur"))
+    ckpt.upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        key="k",
+    )
+    ckpt.upsert(
+        spark.createDataFrame([(2, "b2")], "k int, v string"), key="k"
+    )
+
+    # interleave: a third upsert lands between capture and commit
+    orig_resolve = ckpt._resolve_current
+    raced = {}
+
+    def racing_resolve(sp, key, snaps):
+        if not raced:
+            raced["done"] = True
+            ckpt.upsert(
+                spark.createDataFrame([(3, "c")], "k int, v string"),
+                key="k",
+            )
+        return orig_resolve(sp, key, snaps)
+
+    ckpt._resolve_current = racing_resolve
+    try:
+        snap = ckpt.compact_current(spark, key="k")
+    finally:
+        ckpt._resolve_current = orig_resolve
+    assert snap is not None
+
+    # raw read: each key exactly once (double-count would show k=3 twice
+    # or fold (3,"c") into the compacted snapshot AND keep its delta)
+    rows = sorted(
+        tuple(r) for r in ckpt.read(spark).select("k", "v").collect()
+    )
+    assert rows == [(1, "a"), (2, "b2"), (3, "c")]
+    resolved = sorted(
+        tuple(r)
+        for r in ckpt.read_current(spark, key="k").select("k", "v").collect()
+    )
+    assert resolved == [(1, "a"), (2, "b2"), (3, "c")]
