@@ -686,18 +686,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (similarity.ivf_topk): Voronoi cells around a
-    k-means-refined centroid sample (3 Lloyd rounds), nprobe nearest
-    cells scored — the high-recall ANN path on weakly-clustered
-    embeddings (recall 0.66 at sf0.1 vs 0.38 for radius-2 LSH, at
-    ~20% candidate budget)."""
+    """IVF top-k via the PERSISTED index pair (similarity.
+    build_ivf_index + ivf_probe): Voronoi cells around a
+    k-means-refined centroid sample (3 Lloyd rounds) written
+    partitioned by cell, then the probe reads back only the nprobe
+    nearest cells (dynamic partition pruning).  nprobe=12 is the
+    default operating point — recall 0.75 at ~30% candidate budget on
+    the bench corpus (curve: 8/12/16 -> 0.66/0.75/0.83), vs 0.38 for
+    radius-2 LSH at ~15%."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/mimeograph_ivf/{tag}"
+    os.makedirs(path, exist_ok=True)
     return ivf_topk(
         _read(spark, sf_dir, "embeddings"),
         k=5,
-        nprobe=8,
+        nprobe=12,
         centroid_step=50,
         dim=64,
         refine_iters=3,
+        index_path=path,
     )
 
 
@@ -903,7 +913,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64, n_planes=8, k=5, probe_radius=2
         ),
         "ann_ivf_topk": sql_oracles.ann_ivf_topk_sql(
-            k=5, nprobe=8, centroid_step=50, dim=64, refine_iters=3
+            k=5, nprobe=12, centroid_step=50, dim=64, refine_iters=3
         ),
         "embedding_near_dups": sql_oracles.embedding_near_dups_sql(),
         "semi_join_q4": sql_oracles.SEMI_JOIN_ORACLE,

@@ -343,6 +343,178 @@ def _kmeans_refine(
     return cent
 
 
+class IvfIndex:
+    """Handle to a persisted IVF index: `path/centroids` (M rows:
+    cid, centroid, norm) and `path/cells` (the corpus partitioned BY
+    cid — one directory per Voronoi cell), plus `path/meta.json`
+    recording the build parameters so a probe can't silently run with
+    mismatched geometry."""
+
+    def __init__(self, path: str, dim: int, n_centroids: int):
+        self.path = path
+        self.dim = dim
+        self.n_centroids = n_centroids
+
+    @property
+    def centroids_path(self) -> str:
+        return f"{self.path}/centroids"
+
+    @property
+    def cells_path(self) -> str:
+        return f"{self.path}/cells"
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        import json
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        return cls(path, meta["dim"], meta["n_centroids"])
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroid_step: int = 50,
+    dim: int = 64,
+    refine_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build and PERSIST an IVF index: the amortization half of IVF —
+    the n x M assignment (the expensive part) is paid once at build
+    time, and every subsequent query batch probes the stored cells.
+
+    Layout: `cells` is written partitioned BY cid (one directory per
+    Voronoi cell), so a probe physically reads only the nprobe cells
+    it joins against — Spark's dynamic partition pruning turns the
+    broadcast probe-set join into a partition filter on the scan
+    (pinned by tests/test_plans.py::test_ivf_probe_prunes_cells).
+    That is the IVF contract at 100 TB: query cost scales with
+    nprobe/M of the index, not with the corpus.  The one shuffle here
+    (repartition on cid before the write) is the index-build cost;
+    it also gives one file per cell instead of tasks x cells
+    fragments.  Vectors are stored as array<double> with their norms
+    precomputed — probe-side scoring is a pure dot product."""
+    import json
+    import os
+
+    cvec = F.col(vec_col).cast("array<double>")
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) % centroid_step == 1)
+        .select(F.col(id_col).alias("cid"), cvec.alias("_cent"))
+        .withColumn("_centn", l2_norm(F.col("_cent")))
+    )
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), cvec.alias("_cvec")
+    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    if refine_iters > 0:
+        cent = _kmeans_refine(base, cent, dim, refine_iters)
+    cent_out = cent.select(
+        "cid",
+        F.col("_cent").alias("centroid"),
+        F.col("_centn").alias("norm"),
+    )
+    cent_out.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _assign_cells(base, cent)
+    (
+        assigned.select(
+            "vec_id",
+            F.col("_cvec").alias("vec"),
+            F.col("_cn").alias("norm"),
+            "cid",
+        )
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/cells")
+    )
+    n_centroids = cent_out.count()
+    meta = {
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "centroid_step": centroid_step,
+        "refine_iters": refine_iters,
+    }
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/meta.json")
+    return IvfIndex(path, dim, n_centroids)
+
+
+_CELLS_SCHEMA = (
+    "vec_id BIGINT, vec ARRAY<DOUBLE>, norm DOUBLE, cid BIGINT"
+)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: score each query against only the
+    `nprobe` cells whose centroids are nearest.
+
+    Physical shape: the centroid table (M rows) is broadcast and
+    crossed with the query batch to pick probe cells (an M x batch
+    compute, trivial); the cell scan then joins the broadcast probe
+    set on cid, and because `cells` is partitioned by cid, dynamic
+    partition pruning restricts the scan to exactly the probed
+    directories — the other M - nprobe cells are never read.  No
+    assignment work happens here; that was paid at build time."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    cent = F.broadcast(
+        spark.read.parquet(index.centroids_path).select(
+            "cid",
+            F.col("centroid").alias("_cent"),
+            F.col("norm").alias("_centn"),
+        )
+    )
+    qvec = F.col(vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), qvec.alias("_qvec")
+    ).withColumn("_qn", l2_norm(F.col("_qvec")))
+    qsim = F.round(
+        dot(F.col("_qvec"), F.col("_cent"))
+        / (F.col("_qn") * F.col("_centn")),
+        6,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("_qsim"), F.asc("cid")
+    )
+    probes = F.broadcast(
+        q.crossJoin(cent)
+        .select("query_id", "_qvec", "_qn", "cid", qsim.alias("_qsim"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "_qn", "cid")
+    )
+    cells = spark.read.schema(_CELLS_SCHEMA).parquet(index.cells_path)
+    scored = cells.join(probes, on="cid").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("vec"), F.col("_qvec"))
+            / (F.col("norm") * F.col("_qn")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int = 5,
@@ -353,6 +525,7 @@ def ivf_topk(
     query_modulus: int = 100,
     dim: int = 64,
     refine_iters: int = 0,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into Voronoi cells around M centroids, score a query only against
@@ -375,11 +548,34 @@ def ivf_topk(
     Queries come from the corpus itself
     (id % query_modulus == 0, the convention the other ANN queries
     use); probing joins the broadcast probe set on cell id, so the
-    corpus shuffles once on its cell assignment.  At 100 TB you'd
-    persist `assigned` as a bucketed table on cid and amortize
-    assignment over every query batch.  M should grow ~sqrt(n) (at
-    fixed nprobe the scored fraction shrinks as nprobe/M)."""
+    corpus shuffles once on its cell assignment.  M should grow
+    ~sqrt(n) (at fixed nprobe the scored fraction shrinks as
+    nprobe/M).
+
+    With `index_path` set this COMPOSES the persisted-index pair —
+    build_ivf_index() then ivf_probe() — so the driver-checked query
+    exercises the same two-phase operator a 100 TB deployment runs
+    (build once, probe per batch, cells partition-pruned to nprobe
+    dirs).  Without it, the one-shot in-memory form (no disk writes)
+    computes the identical result — the two paths share _assign_cells
+    and _kmeans_refine, and the stored vectors/norms round-trip
+    parquet doubles exactly."""
     from pyspark.sql import Window
+
+    if index_path is not None:
+        index = build_ivf_index(
+            corpus,
+            index_path,
+            centroid_step=centroid_step,
+            dim=dim,
+            refine_iters=refine_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        queries = corpus.filter(F.col(id_col) % query_modulus == 0).select(
+            F.col(id_col).alias("query_id"), vec_col
+        )
+        return ivf_probe(index, queries, k=k, nprobe=nprobe)
 
     cvec = F.col(vec_col).cast("array<double>")
     cent = F.broadcast(

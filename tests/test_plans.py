@@ -709,3 +709,45 @@ def test_tfidf_single_scan(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
         if out is not None:
             assert unpersist_deps(out) == 1
+
+
+def test_ivf_probe_prunes_cells(spark, tmp_path):
+    """The probe path of the persisted IVF index must read only the
+    probed cells: `cells` is partitioned by cid and the probe join
+    against the broadcast probe set turns into a DYNAMIC PARTITION
+    PRUNING filter on the scan — query cost scales with nprobe/M of
+    the index, never the whole corpus.  Also pins that the probe does
+    no assignment work (it joins the stored cells, it never re-scores
+    corpus x centroids)."""
+    from mimeograph_spark.functions.similarity import (
+        build_ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), centroid_step=50, dim=64,
+        refine_iters=0,
+    )
+    assert idx.n_centroids > 4
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nprobe = 2
+    out = ivf_probe(idx, queries, k=5, nprobe=nprobe)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cells scan (vec/norm/cid columns) carries dynamic pruning
+    cells_scans = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "norm" in l
+    ]
+    assert cells_scans, plan
+    assert "dynamicpruning" in plan.lower(), plan
+    # reloading the handle from meta.json yields the same geometry
+    from mimeograph_spark.functions.similarity import IvfIndex
+
+    reloaded = IvfIndex.load(str(tmp_path / "ivf"))
+    assert (reloaded.dim, reloaded.n_centroids) == (
+        idx.dim, idx.n_centroids,
+    )
