@@ -810,7 +810,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
-        # --- new this round ---
+        # --- new this round (r4): TPC-H breadth ---
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_shipping_delay": relational.q12_shipping_delay,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_brackets": relational.q19_disjunctive_brackets,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         # --- pipeline ---
         "pipeline_extract": q_pipeline_extract,
         "classify_branch": q_classify_branch,

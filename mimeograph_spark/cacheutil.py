@@ -84,6 +84,14 @@ def ensure_compute_parallelism(
     repartition would add a full extra shuffle of a 100 TB input)."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # JVM-side partition count (df.rdd would additionally build the
+    # Python-serialized RDD wrapper), memoized on the frame: the
+    # analysis this forces is paid once per DataFrame object even if
+    # a query path consults it more than once.
+    n_parts = getattr(df, "_mimeo_nparts", None)
+    if n_parts is None:
+        n_parts = df._jdf.rdd().getNumPartitions()
+        setattr(df, "_mimeo_nparts", n_parts)
+    if n_parts < target:
         return df.repartition(target)
     return df

@@ -551,3 +551,293 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (o_orderstatus, o_orderpriority), (o_orderstatus), ()
         )
     """)
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations —
+    the nation dimension joins TWICE in different roles (supplier's
+    vs customer's nation), the aliasing case a single-join suite
+    never exercises.  Both roles broadcast (fixed-cardinality dim);
+    the symmetric pair filter applies after both joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    import volume per year — a conditional aggregate RATIO
+    (sum(CASE)/sum) over a 6-way join where nation again plays two
+    roles (supplier nation feeds the share flag, customer nation
+    routes through region for the filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("_supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_c_regionkey"),
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(
+            F.broadcast(region),
+            F.col("_c_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("_supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 4).alias("total_volume"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the testdata has no partsupp, so
+    profit = discounted revenue without supply cost): per supplier
+    nation and order year, revenue from parts whose name matches a
+    substring — LIKE-filtered dimension join + two-level grouping
+    with year extraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned items in a quarter, ranked
+    by lost revenue — join + agg + top-k where the grouping key is
+    WIDE (customer attributes ride the groupBy instead of a re-join
+    after aggregation)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commit/receipt dates
+    in the testdata, so the bucket is ship delay vs order date):
+    per delay bucket, how many lines belong to high- vs low-priority
+    orders — the CASE-WHEN-inside-aggregate pattern."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    orders = _t(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(delay > 60, F.lit("SLOW"))
+            .otherwise(F.lit("FAST"))
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: the PROMO share of one month's revenue — a single
+    global conditional-aggregate ratio (no grouping at all: tests the
+    partial-aggregate path collapsing to one row without a global
+    sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(F.lit(0.0))
+                )
+                * 100.0
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.round(F.sum(vol), 4).alias("total_revenue"),
+        )
+    )
+
+
+def q19_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under a DISJUNCTION of conjunctive brackets
+    (brand x size-range x quantity-range) — the predicate shape that
+    defeats naive single-column pushdown; the join keeps one equi-key
+    (partkey) with the brackets as a residual filter, never a nested
+    loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    brackets = (
+        ((b == "Brand#13") & q.between(1, 11) & sz.between(1, 5))
+        | ((b == "Brand#22") & q.between(10, 20) & sz.between(1, 10))
+        | ((b == "Brand#25") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(brackets)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: 'late' = shipped >90 days after the
+    order date, since the testdata has no commit/receipt dates): the
+    sole supplier who shipped late on a finalized multi-supplier
+    order — EXISTS plus NOT EXISTS over the same fact table,
+    correlated on the join key.  Written as SQL on purpose: Catalyst
+    must turn the EXISTS into a left-semi and the NOT EXISTS into a
+    left-anti join evaluated ONCE each (a per-row probe over a 100 TB
+    lineitem is O(n^2)); the plan test pins zero surviving Subquery
+    nodes.  The late flag is computed in a shared CTE so both
+    existence legs stay LOCAL predicates — the exact correlation
+    structure of the original query."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
+    return spark.sql("""
+        WITH ll AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM _q21_lineitem l
+          JOIN _q21_orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM _q21_supplier s
+        JOIN ll l1 ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.late = 1
+          AND EXISTS (
+            SELECT 1 FROM ll l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM ll l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.late = 1)
+        GROUP BY s.s_name
+    """)

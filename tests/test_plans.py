@@ -751,3 +751,17 @@ def test_ivf_probe_prunes_cells(spark, tmp_path):
     assert (reloaded.dim, reloaded.n_centroids) == (
         idx.dim, idx.n_centroids,
     )
+
+
+def test_q21_exists_legs_are_decorrelated(spark):
+    """Q21's EXISTS / NOT EXISTS over the shared late-flag CTE must
+    run as ONE left-semi and ONE left-anti join — no Subquery node may
+    survive to execution (a per-row probe over a 100 TB lineitem is
+    O(n^2))."""
+    from mimeograph_spark.plans.relational import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
