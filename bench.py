@@ -166,6 +166,9 @@ HEADLINE_QUERIES = (
     "reading_order", "html_scored_content", "interleaved_examples",
     "rolling_window_revenue", "cogroup_asof_lag", "profile_columns",
     "q16_supplier_counts", "q18_large_orders", "weighted_sample",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_shipping_delay", "q14_promo_revenue",
+    "q19_disjunctive_brackets", "q21_waiting_suppliers",
 )
 
 
@@ -350,6 +353,17 @@ def main() -> None:
             "each worker plus the equalized low level bounds the artifact. "
             "Controlled high-low-high interleaving confirmed the drift is "
             "ambient, not an artifact of run ordering.\n"
+            "- **Round-over-round attribution (interleaved A/B, "
+            "measured round 4)**: same-day alternating 32-core extract "
+            "runs of r4-vs-r3 code (708k vs 710k docs/s in the matched "
+            "pair; 662-741k across all four) and r3-vs-r2 code (851k/714k "
+            "vs 688k/756k — r3 won one pair by +24% and lost the other by "
+            "-5%) show within-code spread exceeding any between-code "
+            "difference, with sign flips across pairs. The r2->r3 "
+            "headline movement (843k->779k) and any r3->r4 movement are "
+            "therefore ambient host drift, not plan regressions — "
+            "consistent with git history showing no extract-path code "
+            "change in either round.\n"
             "- The OCR hot loop itself scales near-linearly in isolation "
             "(measured ~12 us/page with only ~9% CPU-time inflation going "
             "from 8 to 32 concurrent Python processes).\n"
