@@ -765,3 +765,31 @@ def test_q21_exists_legs_are_decorrelated(spark):
     assert "Subquery" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_new_tpch_queries_broadcast_only_fixed_dimensions(spark):
+    """The round-4 TPC-H shapes may hint only nation/region (fixed
+    cardinality); every sf-scaling table (orders/customer/supplier/
+    lineitem/part) must be hint-free so AQE picks its strategy from
+    runtime sizes — a forced broadcast of a growing table OOMs
+    executors at 100 TB."""
+    cases = {
+        "q7_volume_shipping": 2,   # two nation roles
+        "q8_market_share": 3,      # two nation roles + region
+        "q9_product_profit": 1,    # nation
+        "q10_returned_items": 1,   # nation
+        "q12_shipping_delay": 0,
+        "q14_promo_revenue": 0,
+        "q19_disjunctive_brackets": 0,
+        "q21_waiting_suppliers": 0,
+    }
+    for name, n_hints in cases.items():
+        plan = _analyzed(getattr(relational, name)(spark, SF))
+        lines = plan.splitlines()
+        hint_idx = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+        assert len(hint_idx) == n_hints, (name, plan)
+        for i in hint_idx:
+            subtree = "\n".join(lines[i : i + 4])
+            assert ("n_nationkey" in subtree) or (
+                "r_regionkey" in subtree
+            ), f"{name}: broadcast hint on a non-dimension table:\n{subtree}"
