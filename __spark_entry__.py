@@ -225,6 +225,18 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hypertable_rollup(_read(spark, sf_dir, "events"))
 
 
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class distribution + Shannon entropy
+    (textstats.char_class_stats): the cheap junk detector — base64 /
+    hex / digit-heavy content skews the 5-class distribution long
+    before token heuristics notice.  Pure codegen, zero shuffle."""
+    from mimeograph_spark.functions.textstats import char_class_stats
+
+    return char_class_stats(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = with_textstats(_read(spark, sf_dir, "documents"))
     return stats.select(
@@ -810,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
+        # --- new this round (r4) ---
+        "char_stats": q_char_stats,
         # --- new this round (r4): TPC-H breadth ---
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
@@ -885,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_examples": sql_oracles.interleaved_examples_sql(),
         # training-data
         "textstats": sql_oracles.textstats_sql(),
+        "char_stats": sql_oracles.CHAR_STATS_ORACLE,
         "html_main_content": sql_oracles.html_main_content_sql(),
         "html_scored_content": sql_oracles.html_scored_content_sql(),
         "reading_order": sql_oracles.reading_order_sql(),

@@ -314,6 +314,9 @@ def resolve_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    changed = -1
     for _ in range(max_iters):
         nbr = (
             edges.join(

@@ -245,3 +245,73 @@ def with_textstats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.lit("und")).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def char_class_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class distribution and its Shannon
+    entropy — the cheap complement to the token-level quality scores:
+    machine-generated or encoded junk (base64 blobs, hex dumps,
+    digit-heavy tables) skews the lower/upper/digit/space/other class
+    distribution long before token heuristics notice.
+
+    Scale shape: pure whole-stage-codegen string expressions, zero
+    shuffle, one pass.  Class counts are staged as real columns before
+    the entropy projection (Catalyst inlines any expression referenced
+    twice — the duplicated-expression disease).  The whitespace class
+    is the EXPLICIT set [ \\t\\n\\r\\f] on both engines: Java's \\s
+    includes \\x0B, RE2's does not, so a literal class is the only
+    cross-engine-stable definition."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    staged = df.select(
+        F.col(id_col),
+        n.cast("long").alias("_n"),
+        (n - F.length(F.regexp_replace(t, "[a-z]", "")))
+        .cast("long")
+        .alias("_lo"),
+        (n - F.length(F.regexp_replace(t, "[A-Z]", "")))
+        .cast("long")
+        .alias("_up"),
+        (n - F.length(F.regexp_replace(t, "[0-9]", "")))
+        .cast("long")
+        .alias("_di"),
+        (n - F.length(F.regexp_replace(t, "[ \t\n\r\f]", "")))
+        .cast("long")
+        .alias("_sp"),
+    ).withColumn(
+        "_ot",
+        F.col("_n") - F.col("_lo") - F.col("_up") - F.col("_di")
+        - F.col("_sp"),
+    )
+
+    def ent_term(c):
+        p = c / F.col("_n")
+        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = F.when(
+        F.col("_n") > 0,
+        sum(
+            (ent_term(F.col(c)) for c in ("_lo", "_up", "_di", "_sp", "_ot")),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    ratio = lambda c: F.round(  # noqa: E731
+        F.when(F.col("_n") > 0, F.col(c) / F.col("_n")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return staged.select(
+        id_col,
+        F.col("_n").alias("n_chars_total"),
+        F.col("_lo").alias("n_lower"),
+        F.col("_up").alias("n_upper"),
+        F.col("_di").alias("n_digit"),
+        F.col("_sp").alias("n_space"),
+        F.col("_ot").alias("n_other"),
+        F.round(entropy, 6).alias("class_entropy"),
+        ratio("_di").alias("digit_ratio"),
+        ratio("_up").alias("upper_ratio"),
+    )

@@ -707,6 +707,39 @@ FROM pr ORDER BY p DESC, doc_id LIMIT {k}
 """
 
 
+CHAR_STATS_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[a-z]', '', 'g')) AS lo,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) AS up,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS di,
+         length(coalesce(text, ''))
+           - length(regexp_replace(coalesce(text, ''), '[ 	
+]', '', 'g')) AS sp
+  FROM documents
+), c2 AS (
+  SELECT doc_id, n, lo, up, di, sp, n - lo - up - di - sp AS ot FROM c
+)
+SELECT doc_id,
+       n AS n_chars_total, lo AS n_lower, up AS n_upper,
+       di AS n_digit, sp AS n_space, ot AS n_other,
+       round(CASE WHEN n > 0 THEN
+           (CASE WHEN lo > 0 THEN -(lo * 1.0 / n) * ln(lo * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN up > 0 THEN -(up * 1.0 / n) * ln(up * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN di > 0 THEN -(di * 1.0 / n) * ln(di * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN sp > 0 THEN -(sp * 1.0 / n) * ln(sp * 1.0 / n) ELSE 0 END)
+         + (CASE WHEN ot > 0 THEN -(ot * 1.0 / n) * ln(ot * 1.0 / n) ELSE 0 END)
+         ELSE 0.0 END, 6) AS class_entropy,
+       round(CASE WHEN n > 0 THEN di * 1.0 / n ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN n > 0 THEN up * 1.0 / n ELSE 0.0 END, 6) AS upper_ratio
+FROM c2
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -823,3 +823,24 @@ def test_media_blob_column_equals_python_reference(spark):
     for r in refs:
         assert got[r] == media_blob(r), r
     assert got[None] is None
+
+
+def test_resolve_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iters without a zero-change round must RAISE —
+    non-converged labels flowing downstream would silently corrupt
+    every keep/drop decision.  A 12-node path graph cannot converge
+    in one round (pointer jumping needs ~log2(diameter))."""
+    import pytest
+
+    from mimeograph_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_clusters(pairs, max_iters=1)
+    with pytest.raises(ValueError):
+        resolve_clusters(pairs, max_iters=0)
+    # and with enough rounds the same graph resolves to one canonical
+    out = resolve_clusters(pairs, max_iters=10)
+    assert {r["canonical_id"] for r in out.collect()} == {0}

@@ -349,17 +349,22 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
 
 
-def test_csv_and_json_sources_roundtrip(spark, tmp_path):
-    """Source-format breadth: the same frame written as CSV (header)
-    and JSON-lines and read back with an explicit schema must equal
-    the parquet original — schema-first reads, no inference."""
+def test_csv_json_orc_sources_roundtrip(spark, tmp_path):
+    """Source-format breadth: the same frame written as CSV (header),
+    JSON-lines and ORC and read back with an explicit schema must
+    equal the parquet original — schema-first reads, no inference.
+    (ORC additionally keeps predicate pushdown + column pruning,
+    checked on the read plan.)"""
     src = spark.read.parquet(f"{SF}/events.parquet").select(
         "event_id", "user_id", "event_type", "value"
     ).limit(500)
     schema = src.schema
-    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    csv_dir, json_dir, orc_dir = (
+        str(tmp_path / "csv"), str(tmp_path / "json"), str(tmp_path / "orc")
+    )
     src.write.option("header", True).csv(csv_dir)
     src.write.json(json_dir)
+    src.write.orc(orc_dir)
     base = {tuple(r) for r in src.collect()}
     got_csv = {
         tuple(r)
@@ -371,8 +376,21 @@ def test_csv_and_json_sources_roundtrip(spark, tmp_path):
     got_json = {
         tuple(r) for r in spark.read.schema(schema).json(json_dir).collect()
     }
+    got_orc = {
+        tuple(r) for r in spark.read.schema(schema).orc(orc_dir).collect()
+    }
     assert got_csv == base
     assert got_json == base
+    assert got_orc == base
+    orc_read = (
+        spark.read.schema(schema).orc(orc_dir)
+        .filter(F.col("user_id") == 7)
+        .select("event_id")
+    )
+    plan = orc_read._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan, plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in plan or \
+        "ReadSchema: struct<event_id" in plan, plan
 
 
 def test_decontaminate_broadcasts_eval_grams(spark):
