@@ -811,33 +811,57 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     must turn the EXISTS into a left-semi and the NOT EXISTS into a
     left-anti join evaluated ONCE each (a per-row probe over a 100 TB
     lineitem is O(n^2)); the plan test pins zero surviving Subquery
-    nodes.  The late flag is computed in a shared CTE so both
-    existence legs stay LOCAL predicates — the exact correlation
-    structure of the original query."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q21_lineitem")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q21_orders")
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
-    return spark.sql("""
-        WITH ll AS (
-          SELECT l.l_orderkey, l.l_suppkey,
-                 CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                      THEN 1 ELSE 0 END AS late
-          FROM _q21_lineitem l
-          JOIN _q21_orders o ON o.o_orderkey = l.l_orderkey
-          WHERE o.o_orderstatus = 'F'
+    nodes.  The late flag is computed in a shared late-flag frame so
+    both existence legs stay LOCAL predicates — the exact correlation
+    structure of the original query.
+
+    The late-flag frame is referenced THREE times (driving leg +
+    both existence legs); Spark inlines SQL CTEs per reference, which
+    would re-scan lineitem+orders three times at 100 TB, so it is
+    materialized once as a PERSISTED narrow projection ((orderkey,
+    suppkey, late) — three columns regardless of fact width) exposed
+    as a temp view; the cache is registered on the result for the
+    caller-owned unpersist_deps lifecycle, and the plan test pins the
+    single-file-scan-per-table shape."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    ll = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("late"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ll.createOrReplaceTempView("_q21_ll")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q21_supplier")
+    out = spark.sql("""
         SELECT s.s_name, count(*) AS numwait
         FROM _q21_supplier s
-        JOIN ll l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN _q21_ll l1 ON s.s_suppkey = l1.l_suppkey
         WHERE l1.late = 1
           AND EXISTS (
-            SELECT 1 FROM ll l2
+            SELECT 1 FROM _q21_ll l2
             WHERE l2.l_orderkey = l1.l_orderkey
               AND l2.l_suppkey <> l1.l_suppkey)
           AND NOT EXISTS (
-            SELECT 1 FROM ll l3
+            SELECT 1 FROM _q21_ll l3
             WHERE l3.l_orderkey = l1.l_orderkey
               AND l3.l_suppkey <> l1.l_suppkey
               AND l3.late = 1)
         GROUP BY s.s_name
     """)
+    return register_persisted(out, ll)
