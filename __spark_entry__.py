@@ -237,6 +237,22 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HLL distinct-count rollup
+    (operators/hypertable.hypertable_distinct_rollup): 10min/1h/1d
+    distinct users per event_type where coarse levels UNION the finer
+    level's sketches — distinct is not summable, sketches are; raw
+    ids are read once.  Rows-only driver check: sketch binaries (and
+    their estimates) aren't replayable in DuckDB SQL; accuracy (<=5%
+    vs exact at every level) and the single-raw-scan plan are pinned
+    by tests/test_functions.py."""
+    from mimeograph_spark.operators.hypertable import (
+        hypertable_distinct_rollup,
+    )
+
+    return hypertable_distinct_rollup(_read(spark, sf_dir, "events"))
+
+
 def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = with_textstats(_read(spark, sf_dir, "documents"))
     return stats.select(
@@ -824,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # --- new this round (r4) ---
         "char_stats": q_char_stats,
+        "sketch_rollup": q_sketch_rollup,
         # --- new this round (r4): TPC-H breadth ---
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,

@@ -21,7 +21,12 @@ def test_every_query_has_an_oracle():
     assert oracles <= qs, sorted(oracles - qs)
     # every query is oracle-checked; if a future op is genuinely not
     # SQL-expressible, list it here explicitly instead of loosening
-    rows_only_allowed: set[str] = set()
+    rows_only_allowed: set[str] = {
+        # HLL sketch binaries/estimates aren't replayable in DuckDB;
+        # accuracy + merge-consistency + plan are pinned in-suite
+        # (test_hypertable_distinct_rollup_*)
+        "sketch_rollup",
+    }
     assert qs - oracles <= rows_only_allowed, sorted(qs - oracles)
 
 

@@ -844,3 +844,79 @@ def test_resolve_clusters_raises_on_non_convergence(spark):
     # and with enough rounds the same graph resolves to one canonical
     out = resolve_clusters(pairs, max_iters=10)
     assert {r["canonical_id"] for r in out.collect()} == {0}
+
+
+def test_hypertable_distinct_rollup_accuracy_and_merge(spark):
+    """The sketch rollup must (a) estimate within HLL's documented
+    error of the exact distinct at EVERY level (lgk=12 -> ~1.6%
+    relative standard error; assert 5% = ~3 sigma), and (b) be
+    merge-consistent: the coarse estimates come from unioning finer
+    sketches, never from re-reading raw ids."""
+    import pyspark.sql.functions as F
+
+    from mimeograph_spark.cacheutil import unpersist_deps
+    from mimeograph_spark.operators.hypertable import (
+        hypertable_distinct_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    out = hypertable_distinct_rollup(events)
+    rows = {
+        (r["resolution"], r["window_start"], r["event_type"]):
+            r["approx_distinct"]
+        for r in out.collect()
+    }
+    assert len(rows) > 10
+    for res in ("10 minutes", "1 hour", "1 day"):
+        exact = {
+            (res, r["w"]["start"], r["event_type"]): r["exact"]
+            for r in events.groupBy(
+                F.window("ts", res).alias("w"), "event_type"
+            )
+            .agg(F.countDistinct("user_id").alias("exact"))
+            .collect()
+        }
+        assert set(exact) <= set(rows)
+        for k, ex in exact.items():
+            approx = rows[k]
+            assert abs(approx - ex) <= max(0.05 * ex, 2.0), (k, approx, ex)
+    assert unpersist_deps(out) == 2
+
+
+def test_hypertable_distinct_rollup_reads_raw_once(spark):
+    """Same single-physical-scan discipline as the sum/count rollup:
+    every level above the finest derives from cached sketches."""
+    from mimeograph_spark.cacheutil import unpersist_deps
+    from mimeograph_spark.operators.hypertable import (
+        hypertable_distinct_rollup,
+    )
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    df = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = hypertable_distinct_rollup(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        assert df.count() > 0
+
+        def walk(j):
+            out = [j.nodeName()]
+            it = j.children().iterator()
+            while it.hasNext():
+                out.extend(walk(it.next()))
+            return out
+
+        names = walk(df._jdf.queryExecution().executedPlan())
+        scans = [
+            n for n in names
+            if ("FileScan" in n or n.strip().startswith("Scan "))
+            and "InMemoryTableScan" not in n
+        ]
+        imts = [n for n in names if "InMemoryTableScan" in n]
+        assert len(scans) == 0, names
+        assert len(imts) == 3, names
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if df is not None:
+            assert unpersist_deps(df) == 2
