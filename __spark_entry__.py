@@ -842,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_stats": q_char_stats,
         "sketch_rollup": q_sketch_rollup,
         # --- new this round (r4): TPC-H breadth ---
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
         "q9_product_profit": relational.q9_product_profit,

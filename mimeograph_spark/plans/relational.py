@@ -865,3 +865,80 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
     """)
     return register_persisted(out, ll)
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + global aggregate — the pure
+    predicate-pushdown case (year, discount band, quantity cap all
+    reach the scan; no join, no grouping, one partial-agg collapse)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts INCLUDING
+    zero-order customers — a LEFT OUTER join aggregated twice (count
+    per customer, then customers per count).  The zero bucket is the
+    point: an inner join silently drops it (the count(o_orderkey)
+    over the null-extended side is what keeps it)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — a
+    derived revenue view consumed TWICE (once as the row source, once
+    under max()).  Spark inlines a CTE per reference, which would scan
+    lineitem twice at 100 TB, so the supplier-sized revenue frame is
+    persisted and the 1-row max attaches as a broadcast cross join
+    (the same scalar-attach shape as tfidf's corpus total); cache
+    registered for caller-owned release."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("total_revenue")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    out = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    return register_persisted(out, rev)

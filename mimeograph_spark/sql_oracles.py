@@ -719,7 +719,8 @@ WITH c AS (
            - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS di,
          length(coalesce(text, ''))
            - length(regexp_replace(coalesce(text, ''), '[ 	
-]', '', 'g')) AS sp
+
+]', '', 'g')) AS sp
   FROM documents
 ), c2 AS (
   SELECT doc_id, n, lo, up, di, sp, n - lo - up - di - sp AS ot FROM c
@@ -1525,6 +1526,39 @@ FROM refs
 # ---------------------------------------------------------------------------
 
 RELATIONAL_ORACLES = {
+    "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE year(l_shipdate) = 1996
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "q13_order_count_distribution": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
     "q7_volume_shipping": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
