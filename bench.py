@@ -169,6 +169,8 @@ HEADLINE_QUERIES = (
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q10_returned_items", "q12_shipping_delay", "q14_promo_revenue",
     "q19_disjunctive_brackets", "q21_waiting_suppliers",
+    "q6_forecast_revenue", "q13_order_count_distribution",
+    "q15_top_supplier", "char_stats", "sketch_rollup",
 )
 
 
