@@ -419,3 +419,66 @@ def test_streaming_session_windows_merge_and_match_batch(spark, tmp_path):
     }
     for row in got:
         assert row in bt, (row, bt)
+
+
+def test_streaming_sketch_rollup_matches_batch_and_absorbs_replay(
+    spark, tmp_path
+):
+    """The streamed sketch table must (a) produce EXACTLY the batch
+    estimates — HLL register maxima are order-insensitive, so
+    arrival-order/micro-batching cannot change the result — and (b)
+    absorb a full REPLAY of the same data (fresh stream checkpoint,
+    same files): sketch union is idempotent, so at-least-once
+    redelivery needs no dedup machinery."""
+    from mimeograph_spark.streaming.sketch_agg import (
+        run_sketch_stream,
+        sketch_estimates,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    input_dir = str(tmp_path / "incoming")
+    events.filter(F.col("event_id") % 2 == 0).write.mode(
+        "append"
+    ).parquet(input_dir)
+    events.filter(F.col("event_id") % 2 == 1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    ckpt = CheckpointTable(str(tmp_path / "sketches"))
+    q = run_sketch_stream(
+        spark, input_dir, ckpt, str(tmp_path / "stream_ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["window_start"], r["event_type"]): r["approx_distinct"]
+        for r in sketch_estimates(spark, ckpt).collect()
+    }
+    assert len(streamed) > 5
+
+    batch = {
+        (r["w"]["start"], r["event_type"]): r["est"]
+        for r in events.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).cast("long").alias("est")
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+    # replay: same files, FRESH stream checkpoint -> state unchanged
+    q2 = run_sketch_stream(
+        spark, input_dir, ckpt, str(tmp_path / "stream_ckpt2"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    replayed = {
+        (r["window_start"], r["event_type"]): r["approx_distinct"]
+        for r in sketch_estimates(spark, ckpt).collect()
+    }
+    assert replayed == streamed
