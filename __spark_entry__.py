@@ -237,6 +237,23 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (dedup.fuzzy_name_pairs):
+    distinct part names within Levenshtein distance 3, blocked by
+    4-char prefix + length band — run over the names plus a
+    deterministic typo'd copy (first char -> 'x') so near-miss pairs
+    provably exist, mirroring the shifted-copy convention of the
+    other dedup fixtures.  Oracle-exact: DuckDB's levenshtein is the
+    same unit-cost edit distance."""
+    from mimeograph_spark.functions.dedup import fuzzy_name_pairs
+
+    part = _read(spark, sf_dir, "part").select("p_name")
+    typo = part.select(
+        F.concat(F.lit("x"), F.expr("substr(p_name, 2)")).alias("p_name")
+    )
+    return fuzzy_name_pairs(part.unionByName(typo), "p_name")
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable HLL distinct-count rollup
     (operators/hypertable.hypertable_distinct_rollup): 10min/1h/1d
@@ -841,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r4) ---
         "char_stats": q_char_stats,
         "sketch_rollup": q_sketch_rollup,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         # --- new this round (r4): TPC-H breadth ---
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q13_order_count_distribution": relational.q13_order_count_distribution,
@@ -920,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data
         "textstats": sql_oracles.textstats_sql(),
         "char_stats": sql_oracles.CHAR_STATS_ORACLE,
+        "fuzzy_name_pairs": sql_oracles.FUZZY_NAME_PAIRS_ORACLE,
         "html_main_content": sql_oracles.html_main_content_sql(),
         "html_scored_content": sql_oracles.html_scored_content_sql(),
         "reading_order": sql_oracles.reading_order_sql(),

@@ -579,3 +579,68 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
     )
     return register_cap_stats(register_persisted(out, sized), stats)
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_len: int = 4,
+    max_dist: int = 3,
+    max_block: int = 1024,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by blocked edit distance:
+    distinct values of `name_col` whose Levenshtein distance is at
+    most `max_dist`, compared only WITHIN a block (shared prefix of
+    `block_len` chars + a length band of +/- max_dist) — the standard
+    record-linkage shape.  Output: (name_a, name_b, dist), name_a <
+    name_b.
+
+    Scale design, same discipline as the other pair generators:
+    distinct-first (the pair space is over the name VOCABULARY, not
+    rows), equi-join on the block key only — the length-band and
+    distance predicates are residual filters on block-local pairs,
+    never a corpus cross join — and blocks above `max_block` are
+    dropped with the drop-stats side channel (a block that big means
+    the prefix is degenerate, e.g. a shared template; pairing inside
+    it is quadratic noise).  Levenshtein itself is JVM codegen
+    (F.levenshtein) and DuckDB's levenshtein is unit-cost identical,
+    so the whole operator is oracle-checkable."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..cacheutil import register_cap_stats, register_persisted
+
+    names = (
+        df.select(F.col(name_col).cast("string").alias("name"))
+        .filter(F.col("name").isNotNull() & (F.length("name") > 0))
+        .distinct()
+        .select(
+            "name",
+            F.substring("name", 1, block_len).alias("_blk"),
+            F.length("name").alias("_len"),
+        )
+    )
+    sized = names.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("_blk"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    capped = sized.filter(F.col("_bn") <= max_block).drop("_bn")
+    stats = drop_stats(sized, ["_blk"], max_block, "fuzzy_name_pairs")
+    a, b = capped.alias("a"), capped.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (
+                F.abs(F.col("a._len") - F.col("b._len"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+    return register_cap_stats(register_persisted(out, sized), stats)

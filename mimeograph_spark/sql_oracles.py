@@ -741,6 +741,30 @@ FROM c2
 """
 
 
+FUZZY_NAME_PAIRS_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT name FROM (
+    SELECT p_name AS name FROM part
+    UNION ALL
+    SELECT 'x' || substr(p_name, 2) FROM part
+  ) WHERE name IS NOT NULL AND length(name) > 0
+), blocked AS (
+  SELECT name, substr(name, 1, 4) AS blk, length(name) AS len
+  FROM names
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM blocked
+), capped AS (
+  SELECT * FROM sized WHERE bn <= 1024
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM capped a
+JOIN capped b
+  ON a.blk = b.blk AND a.name < b.name AND abs(a.len - b.len) <= 3
+WHERE levenshtein(a.name, b.name) <= 3
+"""
+
+
 GLOBAL_INDEX_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)

@@ -191,3 +191,61 @@ def test_fuzz_global_index_is_rank(spark, keys, n_buckets):
         for r in with_global_index(df, "k", n_buckets=n_buckets).collect()
     }
     assert got == {k: i for i, k in enumerate(sorted(keys))}
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", min_codepoint=9, max_codepoint=126
+                ),
+                max_size=80,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_char_class_stats_matches_python(spark, texts):
+    """char_class_stats vs a straight-line Python reference on
+    arbitrary ASCII text (incl. None/empty/control chars): counts
+    must partition the length exactly and entropy/ratios must match
+    to the same 6-decimal rounding."""
+    import math
+
+    from mimeograph_spark.functions.textstats import char_class_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in char_class_stats(df).collect()
+    }
+    ws = set(" \t\n\r\f")
+    for i, t in enumerate(texts):
+        t = t or ""
+        n = len(t)
+        lo = sum(c.islower() and c.isascii() for c in t)
+        up = sum(c.isupper() and c.isascii() for c in t)
+        di = sum(c.isdigit() and c.isascii() for c in t)
+        sp = sum(c in ws for c in t)
+        ot = n - lo - up - di - sp
+        r = got[i]
+        assert (
+            r["n_chars_total"], r["n_lower"], r["n_upper"],
+            r["n_digit"], r["n_space"], r["n_other"],
+        ) == (n, lo, up, di, sp, ot), (t, dict(r.asDict()))
+        ent = 0.0
+        if n:
+            for c in (lo, up, di, sp, ot):
+                if c:
+                    p = c / n
+                    ent -= p * math.log(p)
+        assert abs(r["class_entropy"] - round(ent, 6)) <= 1e-6, (t, r)
+        assert r["digit_ratio"] == round(di / n, 6) if n else r["digit_ratio"] == 0.0
