@@ -595,6 +595,42 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType round-trip (Spark 4 semi-structured type): the
+    same synthesized JSON payload as `json_extract`, but parsed into
+    an open VARIANT (parse_json) and field-extracted with typed
+    variant_get paths instead of a fixed from_json schema — the
+    schema-on-read path for payloads whose shape drifts.  Shares
+    json_extract's oracle: the aggregation over raw columns is
+    independent ground truth for the whole serialize -> parse ->
+    extract chain."""
+    docs = _read(spark, sf_dir, "documents")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "meta": {"chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit(', "source": "'),
+        F.col("source"),
+        F.lit('"}}'),
+    )
+    v = docs.select(F.parse_json(js).alias("v"))
+    return v.groupBy(
+        F.try_variant_get("v", "$.lang", "string").alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.try_variant_get("v", "$.meta.chars", "bigint")).alias(
+            "total_chars"
+        ),
+        F.max(F.try_variant_get("v", "$.id", "bigint")).alias("max_id"),
+        F.countDistinct(
+            F.try_variant_get("v", "$.meta.source", "string")
+        ).cast("long").alias("n_sources"),
+    )
+
+
 def q_map_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType round-trip: per-user event-type counts packed into a
     map column (map_from_entries), filtered with map_filter
@@ -627,6 +663,20 @@ def q_udaf_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregate (UDAF) via applyInPandas: per-language
     quality percentiles — SURVEY §2.4 UDF/UDAF/UDTF surface."""
     return quality_percentiles_by_lang(_read(spark, sf_dir, "documents"))
+
+
+def q_udaf_arrow_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped aggregate (applyInArrow, the pandas-free
+    Spark 4 grouped-map API): same semantics as
+    udaf_quality_percentiles, groups arrive as pyarrow Tables — the
+    SAME oracle verifies both implementations row-for-row."""
+    from mimeograph_spark.functions.textstats import (
+        quality_percentiles_by_lang_arrow,
+    )
+
+    return quality_percentiles_by_lang_arrow(
+        _read(spark, sf_dir, "documents")
+    )
 
 
 def q_udtf_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,6 +909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_stats": q_char_stats,
         "sketch_rollup": q_sketch_rollup,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "udaf_arrow_percentiles": q_udaf_arrow_percentiles,
+        "variant_extract": q_variant_extract,
         # --- new this round (r4): TPC-H breadth ---
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q13_order_count_distribution": relational.q13_order_count_distribution,
@@ -944,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "reading_order": sql_oracles.reading_order_sql(),
         "curate_documents": sql_oracles.curate_documents_sql(),
         "json_extract": sql_oracles.JSON_EXTRACT_ORACLE,
+        "variant_extract": sql_oracles.JSON_EXTRACT_ORACLE,
         "map_event_counts": sql_oracles.MAP_EVENT_COUNTS_ORACLE,
         "train_split": sql_oracles.train_split_sql(),
         "repetition_stats": sql_oracles.repetition_stats_sql(),
@@ -957,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_values": sql_oracles.zorder_values_sql(bits=16),
         "decontaminate": sql_oracles.decontaminate_sql(n=5),
         "udaf_quality_percentiles": sql_oracles.quality_percentiles_sql(),
+        "udaf_arrow_percentiles": sql_oracles.quality_percentiles_sql(),
         "udtf_token_chunks": sql_oracles.udtf_token_chunks_sql(),
         "set_ops_cohorts": sql_oracles.SET_OPS_ORACLE,
         "dedup_exact": sql_oracles.dedup_exact_sql(),

@@ -315,3 +315,46 @@ def char_class_stats(
         ratio("_di").alias("digit_ratio"),
         ratio("_up").alias("upper_ratio"),
     )
+
+
+def quality_percentiles_by_lang_arrow(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Arrow-native grouped aggregate (`applyInArrow`, Spark 4's
+    pandas-free grouped-map API): identical semantics to
+    `quality_percentiles_by_lang`, but each language group arrives as
+    a `pyarrow.Table` and never materializes a pandas frame — no
+    index machinery, no object-dtype conversions, just columnar
+    buffers.  Same explicit rank formulas, so the same DuckDB oracle
+    verifies both implementations row-for-row."""
+    import pyarrow as pa
+
+    stats = with_textstats(df, text_col).select(
+        "lang_pred", "quality", "n_tokens"
+    )
+
+    def agg(table: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.sort(table.column("quality").to_numpy(zero_copy_only=False))
+        n = len(v)
+        med = (v[(n - 1) // 2] + v[n // 2]) / 2.0
+        p90 = v[(9 * (n - 1)) // 10]
+        tok = int(
+            np.sum(table.column("n_tokens").to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {
+                "lang_pred": [table.column("lang_pred")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "p50_quality": [round(float(med), 6)],
+                "p90_quality": [round(float(p90), 6)],
+                "avg_tokens": [round(tok / n, 6)],
+            }
+        )
+
+    return stats.groupBy("lang_pred").applyInArrow(
+        agg,
+        "lang_pred string, n_docs long, p50_quality double, "
+        "p90_quality double, avg_tokens double",
+    )

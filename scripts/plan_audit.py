@@ -31,7 +31,7 @@ sys.path.insert(0, ".")
 PYTHON_OK = {
     "pipeline_extract", "ocr_pages", "multimodal_meta", "media_features",
     "media_resize", "frame_sample", "udaf_quality_percentiles",
-    "udtf_token_chunks", "cogroup_asof_lag",
+    "udtf_token_chunks", "cogroup_asof_lag", "udaf_arrow_percentiles",
 }
 # queries whose BroadcastNestedLoopJoin is a 1-row scalar attach
 # (tfidf/q14/q22), or a BOUNDED broadcast scoring pass: brute-force
