@@ -575,7 +575,7 @@ def ivf_topk(
         queries = corpus.filter(F.col(id_col) % query_modulus == 0).select(
             F.col(id_col).alias("query_id"), vec_col
         )
-        return ivf_probe(index, queries, k=k, nprobe=nprobe)
+        return ivf_probe(index, queries, k=k, nprobe=nprobe, vec_col=vec_col)
 
     cvec = F.col(vec_col).cast("array<double>")
     cent = F.broadcast(

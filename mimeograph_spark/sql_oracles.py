@@ -718,9 +718,7 @@ WITH c AS (
          length(coalesce(text, ''))
            - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS di,
          length(coalesce(text, ''))
-           - length(regexp_replace(coalesce(text, ''), '[ 	
-
-]', '', 'g')) AS sp
+           - length(regexp_replace(coalesce(text, ''), e'[ \t\n\r\f]', '', 'g')) AS sp
   FROM documents
 ), c2 AS (
   SELECT doc_id, n, lo, up, di, sp, n - lo - up - di - sp AS ot FROM c
@@ -1931,3 +1929,65 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
 FROM sess GROUP BY user_id, session_no
 """,
 }
+
+
+# Deterministic partsupp synthesis shared by the Q2/Q11 oracles —
+# closed-form twin of plans/relational.synth_partsupp (same md5
+# counter, same suppkey stride, integer-cents supplycost so every
+# downstream min/sum is exact on both engines).
+PARTSUPP_CTE = """
+_s AS (SELECT count(*) AS s_cnt FROM supplier),
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey + i * greatest(s_cnt // 4, 1)) % s_cnt AS BIGINT)
+           AS ps_suppkey,
+         CAST(('0x' || substr(md5(CAST(p_partkey * 4 + i AS VARCHAR)), 1, 8))
+              ::BIGINT % 9999 + 1 AS INT) AS ps_availqty,
+         CAST(('0x' || substr(md5(CAST(p_partkey * 4 + i AS VARCHAR)), 1, 8))
+              ::BIGINT % 100000 + 100 AS BIGINT) AS ps_supplycost_cents
+  FROM part, _s, range(4) t(i)
+)"""
+
+
+Q2_MIN_COST_SUPPLIER_ORACLE = f"""
+WITH {PARTSUPP_CTE},
+eligible AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       p.p_partkey, p.p_name,
+       CAST(e.ps_supplycost_cents AS BIGINT) AS supplycost_cents
+FROM part p JOIN eligible e ON p.p_partkey = e.ps_partkey
+WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+  AND e.ps_supplycost_cents = (
+    SELECT min(e2.ps_supplycost_cents) FROM eligible e2
+    WHERE e2.ps_partkey = p.p_partkey)
+ORDER BY s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+Q11_IMPORTANT_STOCK_ORACLE = f"""
+WITH {PARTSUPP_CTE},
+national AS (
+  SELECT ps.ps_partkey,
+         ps.ps_supplycost_cents * ps.ps_availqty AS v
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+FROM national
+GROUP BY ps_partkey
+HAVING sum(v) > (
+    SELECT 1.5 * sum(v) / count(DISTINCT ps_partkey) FROM national)
+ORDER BY value_cents DESC, ps_partkey
+"""

@@ -920,3 +920,53 @@ def test_hypertable_distinct_rollup_reads_raw_once(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
         if df is not None:
             assert unpersist_deps(df) == 2
+
+
+def test_char_class_stats_cr_matches_duckdb_oracle(spark, tmp_path):
+    """Cross-engine check of the whitespace class ON A CARRIAGE
+    RETURN: the sf* testdata contains no \\r, so the driver gate
+    cannot catch a lost \\r in either engine's char class (a previous
+    oracle revision embedded literal control bytes and silently
+    dropped the CR under newline normalization).  Plants \\r, \\x0b
+    (Java \\s includes it, the explicit class must NOT), and \\f."""
+    import duckdb
+
+    from mimeograph_spark import sql_oracles
+    from mimeograph_spark.functions.textstats import char_class_stats
+
+    rows = [
+        ("d1", "a\rb\r\nc"),          # bare CR + CRLF
+        ("d2", "x\x0by"),             # vertical tab: NOT whitespace here
+        ("d3", " \t\n\r\f"),          # the whole class
+        ("d4", None),
+    ]
+    path = str(tmp_path / "docs_cr.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+        1
+    ).write.parquet(path)
+
+    got = {
+        r["doc_id"]: r
+        for r in char_class_stats(spark.read.parquet(path)).collect()
+    }
+    assert got["d1"]["n_space"] == 3          # CR, CR, LF
+    assert got["d2"]["n_space"] == 0          # \x0b is 'other'
+    assert got["d2"]["n_other"] == 1
+    assert got["d3"]["n_space"] == 5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(sql_oracles.CHAR_STATS_ORACLE).fetchall()
+    }
+    for doc_id, r in got.items():
+        o = oracle[doc_id]
+        assert (
+            r["n_chars_total"], r["n_lower"], r["n_upper"],
+            r["n_digit"], r["n_space"], r["n_other"],
+        ) == tuple(o[1:7]), (doc_id, dict(r.asDict()), o)
+        assert abs(r["class_entropy"] - o[7]) <= 1e-6

@@ -811,3 +811,35 @@ def test_new_tpch_queries_broadcast_only_fixed_dimensions(spark):
             assert ("n_nationkey" in subtree) or (
                 "r_regionkey" in subtree
             ), f"{name}: broadcast hint on a non-dimension table:\n{subtree}"
+
+
+def test_date_range_filters_push_down_q6_q7_q8_q12(spark):
+    """The four TPC-H date filters rewritten from year(col)==Y to
+    half-open ranges must reach PushedFilters as GreaterThanOrEqual/
+    LessThan on the raw date column — year() survives only as a
+    post-scan residual, losing parquet row-group min/max skipping on
+    the date (the dominant pruning at 100 TB)."""
+    import re
+
+    cases = [
+        (relational.q6_forecast_revenue, "l_shipdate"),
+        (relational.q7_volume_shipping, "l_shipdate"),
+        (relational.q8_market_share, "o_orderdate"),
+        (relational.q12_shipping_delay, "l_shipdate"),
+    ]
+    # default maxMetadataStringLength (100) truncates the PushedFilters
+    # list mid-bracket, so the regex would silently match nothing
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        for fn, col in cases:
+            plan = (
+                fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+            pushed = " | ".join(
+                re.findall(r"PushedFilters: \[(.*?)\]", plan)
+            )
+            assert f"GreaterThanOrEqual({col}" in pushed, (fn.__name__, plan)
+            assert f"LessThan({col}" in pushed, (fn.__name__, plan)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
