@@ -237,14 +237,69 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (textstats.unigram_logprob): mean
+    token log-prob per document under the corpus's own unigram model
+    — the perplexity-style junk signal next to the Gopher rules.  One
+    corpus scan (persisted token frame), broadcast vocab join,
+    integer micro-nat arithmetic for cross-engine exactness."""
+    from mimeograph_spark.functions.textstats import unigram_logprob
+
+    return unigram_logprob(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction (functions/pii.pii_scrub): emails,
+    IPv4s, SSN-shaped ids, phone numbers, and long digit runs each
+    replaced by a typed placeholder, with per-class counts as the
+    audit side channel.  The testdata contains no organic PII, so the
+    fixture plants one instance of every class per document,
+    deterministically from doc_id (email local-part and IP octet
+    derive from doc_id/md5) — the oracle plants the identical text.
+    Output hashes the redacted text (md5, the shared hash) so the
+    driver's value compare covers the full redaction, not just the
+    counts."""
+    from mimeograph_spark.functions.pii import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    octet = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 256
+    ).cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            octet,
+            F.lit(".7 ssn 123-45-6789 card 4111222233334444"),
+            F.lit(" call +1 (555) 867-5309"),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone", "n_id", "n_pii",
+    )
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs (dedup.fuzzy_name_pairs):
     distinct part names within Levenshtein distance 3, blocked by
-    4-char prefix + length band — run over the names plus a
-    deterministic typo'd copy (first char -> 'x') so near-miss pairs
-    provably exist, mirroring the shifted-copy convention of the
-    other dedup fixtures.  Oracle-exact: DuckDB's levenshtein is the
-    same unit-cost edit distance."""
+    4-char prefix UNION 4-char reversed prefix (+ length band) — run
+    over the names plus a deterministic typo'd copy (first char ->
+    'x').  The first-char typo is exactly the edit a prefix-only
+    block can never see, so each original<->typo pair in the output
+    is direct evidence the suffix blocking pass works (the pairs
+    share their reversed prefix).  Oracle-exact: DuckDB's levenshtein
+    is the same unit-cost edit distance."""
     from mimeograph_spark.functions.dedup import fuzzy_name_pairs
 
     part = _read(spark, sf_dir, "part").select("p_name")
@@ -883,65 +938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries are rotated each round — queries the driver has not
     checked recently (plus anything new this round) come first, and
     freshly-green ones from the previous round's window go last.
-    Round 4 front-loads the 17 entries that sat past r3's 50-query
-    window (incl. the 4 never driver-checked: dedup_clusters,
-    ann_ivf_topk, cogroup_asof_lag, simhash_cap_stats)."""
+    Round 5 front-loads the 33 entries last driver-checked in round 3
+    (the r4 window covered the other 50) plus everything new this
+    round; the 50 freshly-green r4 entries rotate to the tail."""
     return {
-        # --- r3 tail: never/stale driver-checked — keep first ---
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_cap_stats": q_simhash_cap_stats,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "cogroup_asof_lag": q_cogroup_asof_lag,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "semi_join_q4": relational.semi_join_order_priority,
-        "outer_join_nations": relational.outer_join_nation_activity,
-        "asof_join_events": q_asof_join,
-        "range_join_price_bands": q_range_join,
-        "hypertable_rollup": q_hypertable_rollup,
-        "multimodal_meta": q_multimodal_meta,
-        "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "frame_sample": q_frame_sample,
-        # --- new this round (r4) ---
-        "char_stats": q_char_stats,
-        "sketch_rollup": q_sketch_rollup,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "udaf_arrow_percentiles": q_udaf_arrow_percentiles,
-        "variant_extract": q_variant_extract,
-        # --- new this round (r4): TPC-H breadth ---
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q13_order_count_distribution": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q10_returned_items": relational.q10_returned_items,
-        "q12_shipping_delay": relational.q12_shipping_delay,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_brackets": relational.q19_disjunctive_brackets,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        # --- pipeline ---
-        "pipeline_extract": q_pipeline_extract,
-        "classify_branch": q_classify_branch,
-        "span_kind_counts": q_span_kind_counts,
-        "ocr_pages": q_ocr_pages,
-        "interleaved_examples": q_interleaved_examples,
-        # --- relational ---
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_suppliers": relational.q5_local_suppliers,
-        "q17_small_quantity": relational.q17_small_quantity_revenue,
-        "q16_supplier_counts": relational.q16_supplier_counts,
-        "q18_large_orders": relational.q18_large_orders,
-        "q20_excess_shippers": relational.q20_excess_shippers,
-        "q22_dormant_customers": relational.q22_dormant_customers,
-        "window_topn": relational.window_top_orders_per_customer,
-        "window_analytics": relational.window_analytics,
-        "rolling_window_revenue": relational.rolling_window_revenue,
-        "rollup_status_month": relational.rollup_orders_by_status_month,
+        # --- new this round (r5) ---
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_stock": relational.q11_important_stock,
+        "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
+        # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "anti_join_customers": relational.customers_without_orders,
@@ -951,7 +957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_active_users": relational.distinct_active_users,
         "pivot_status_priority": relational.pivot_status_by_priority,
         "set_ops_cohorts": relational.customer_cohort_set_ops,
-        # --- training-data (green in r3's window; rotate to tail) ---
         "textstats": q_textstats,
         "html_main_content": q_html_main_content,
         "html_scored_content": q_html_scored_content,
@@ -976,6 +981,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        # --- checked green in r4 — rotate to tail ---
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_cap_stats": q_simhash_cap_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cogroup_asof_lag": q_cogroup_asof_lag,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "semi_join_q4": relational.semi_join_order_priority,
+        "outer_join_nations": relational.outer_join_nation_activity,
+        "asof_join_events": q_asof_join,
+        "range_join_price_bands": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
+        "char_stats": q_char_stats,
+        "sketch_rollup": q_sketch_rollup,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "udaf_arrow_percentiles": q_udaf_arrow_percentiles,
+        "variant_extract": q_variant_extract,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_shipping_delay": relational.q12_shipping_delay,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_brackets": relational.q19_disjunctive_brackets,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "pipeline_extract": q_pipeline_extract,
+        "classify_branch": q_classify_branch,
+        "span_kind_counts": q_span_kind_counts,
+        "ocr_pages": q_ocr_pages,
+        "interleaved_examples": q_interleaved_examples,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_suppliers": relational.q5_local_suppliers,
+        "q17_small_quantity": relational.q17_small_quantity_revenue,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "q18_large_orders": relational.q18_large_orders,
+        "q20_excess_shippers": relational.q20_excess_shippers,
+        "q22_dormant_customers": relational.q22_dormant_customers,
+        "window_topn": relational.window_top_orders_per_customer,
+        "window_analytics": relational.window_analytics,
+        "rolling_window_revenue": relational.rolling_window_revenue,
+        "rollup_status_month": relational.rollup_orders_by_status_month,
     }
 
 
@@ -1045,6 +1101,13 @@ def oracle_sql() -> dict[str, str]:
         "media_features": sql_oracles.media_features_sql(),
         "media_resize": sql_oracles.media_resize_sql(),
         "frame_sample": sql_oracles.frame_sample_sql(every_n=4),
+        # partsupp is synthesized closed-form on both engines (no
+        # partsupp parquet in the testdata): see synth_partsupp /
+        # PARTSUPP_CTE
+        "q2_min_cost_supplier": sql_oracles.Q2_MIN_COST_SUPPLIER_ORACLE,
+        "q11_important_stock": sql_oracles.Q11_IMPORTANT_STOCK_ORACLE,
+        "pii_scrub": sql_oracles.pii_scrub_sql(),
+        "unigram_logprob": sql_oracles.UNIGRAM_LOGPROB_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

@@ -590,10 +590,15 @@ def fuzzy_name_pairs(
 ) -> DataFrame:
     """Entity-resolution candidate pairs by blocked edit distance:
     distinct values of `name_col` whose Levenshtein distance is at
-    most `max_dist`, compared only WITHIN a block (shared prefix of
-    `block_len` chars + a length band of +/- max_dist) — the standard
-    record-linkage shape.  Output: (name_a, name_b, dist), name_a <
-    name_b.
+    most `max_dist`, compared only WITHIN a block — TWO blocking
+    passes, a shared `block_len`-char PREFIX and a shared
+    `block_len`-char REVERSED prefix (suffix), unioned.  A single
+    prefix pass is structurally blind to edits inside the first
+    `block_len` characters (a first-char typo lands the two names in
+    different blocks forever); the suffix pass makes those reachable,
+    the standard multi-pass blocking recipe.  A length band of +/-
+    `max_dist` rides both passes.  Output: (name_a, name_b, dist),
+    name_a < name_b, deduped across passes BEFORE the distance rerank.
 
     Scale design, same discipline as the other pair generators:
     distinct-first (the pair space is over the name VOCABULARY, not
@@ -601,8 +606,8 @@ def fuzzy_name_pairs(
     distance predicates are residual filters on block-local pairs,
     never a corpus cross join — and blocks above `max_block` are
     dropped with the drop-stats side channel (a block that big means
-    the prefix is degenerate, e.g. a shared template; pairing inside
-    it is quadratic noise).  Levenshtein itself is JVM codegen
+    the key is degenerate, e.g. a shared template; pairing inside it
+    is quadratic noise).  Levenshtein itself is JVM codegen
     (F.levenshtein) and DuckDB's levenshtein is unit-cost identical,
     so the whole operator is oracle-checkable."""
     from pyspark.sql import Window
@@ -616,8 +621,18 @@ def fuzzy_name_pairs(
         .distinct()
         .select(
             "name",
-            F.substring("name", 1, block_len).alias("_blk"),
             F.length("name").alias("_len"),
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("p:"), F.substring("name", 1, block_len)
+                    ),
+                    F.concat(
+                        F.lit("s:"),
+                        F.substring(F.reverse(F.col("name")), 1, block_len),
+                    ),
+                )
+            ).alias("_blk"),
         )
     )
     sized = names.withColumn(
@@ -639,8 +654,10 @@ def fuzzy_name_pairs(
         .select(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
         )
+        # a pair found by both passes must rerank once, not twice
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
         .filter(F.col("dist") <= max_dist)
     )
     return register_cap_stats(register_persisted(out, sized), stats)

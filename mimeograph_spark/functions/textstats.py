@@ -358,3 +358,78 @@ def quality_percentiles_by_lang_arrow(
         "lang_pred string, n_docs long, p50_quality double, "
         "p90_quality double, avg_tokens double",
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Perplexity-style junk signal: per-document mean token log-prob
+    under the corpus's own unigram LM — the standard companion to the
+    Gopher repetition rules (a doc whose tokens are all corpus-rare is
+    noise/garble; one that's all stop-words is boilerplate).  Output:
+    (doc_id, n_tokens, sum_micro, mean_logprob).
+
+    Scale shape: ONE corpus scan (the exploded token frame is
+    persisted and feeds both the vocabulary aggregation and the
+    score join), vocabulary joined back via broadcast — vocab is
+    Heaps-law sublinear in the corpus, the textbook broadcast side.
+    Cross-engine exactness: each token's ln(count/total) is rounded
+    to micro-nats and SUMMED AS INTEGERS, because FP summation order
+    differs between engines while integer sums don't; the mean
+    divides two exact integers at the end.  explode_outer keeps
+    zero-token documents (NULL term rows survive the LEFT vocab
+    join), so every input doc gets a row."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.split(t, r"\s+")
+    terms = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(F.length(t) == 0, F.array().cast("array<string>"))
+            .otherwise(toks)
+        ).alias("term"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = (
+        terms.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    total = vocab.agg(F.sum("_cnt").alias("_tot"))
+    vocab_p = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("_cnt") / F.col("_tot")) * 1000000, 0
+            )
+            .cast("long")
+            .alias("_lp_micro"),
+        )
+    )
+    out = (
+        terms.join(F.broadcast(vocab_p), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("term").alias("n_tokens"),
+            F.coalesce(F.sum("_lp_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_micro",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("sum_micro")
+                    / (F.col("n_tokens") * F.lit(1000000.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return register_persisted(out, terms)

@@ -747,19 +747,26 @@ WITH names AS (
     SELECT 'x' || substr(p_name, 2) FROM part
   ) WHERE name IS NOT NULL AND length(name) > 0
 ), blocked AS (
-  SELECT name, substr(name, 1, 4) AS blk, length(name) AS len
+  SELECT name, 'p:' || substr(name, 1, 4) AS blk, length(name) AS len
+  FROM names
+  UNION ALL
+  SELECT name, 's:' || substr(reverse(name), 1, 4) AS blk,
+         length(name) AS len
   FROM names
 ), sized AS (
   SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM blocked
 ), capped AS (
   SELECT * FROM sized WHERE bn <= 1024
+), pairs AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM capped a
+  JOIN capped b
+    ON a.blk = b.blk AND a.name < b.name AND abs(a.len - b.len) <= 3
 )
-SELECT a.name AS name_a, b.name AS name_b,
-       CAST(levenshtein(a.name, b.name) AS INT) AS dist
-FROM capped a
-JOIN capped b
-  ON a.blk = b.blk AND a.name < b.name AND abs(a.len - b.len) <= 3
-WHERE levenshtein(a.name, b.name) <= 3
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS dist
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 3
 """
 
 
@@ -1990,4 +1997,81 @@ GROUP BY ps_partkey
 HAVING sum(v) > (
     SELECT 1.5 * sum(v) / count(DISTINCT ps_partkey) FROM national)
 ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+def pii_scrub_sql() -> str:
+    """Oracle for the PII scrub: the SAME pattern/token list as
+    functions/pii.PII_CLASSES (imported, so the two sides cannot
+    drift), applied as the same ordered regexp_replace chain, with
+    counts as placeholder-token occurrences over the redacted text.
+    The planted-PII fixture mirrors __spark_entry__.q_pii_scrub."""
+    from .functions.pii import PII_CLASSES
+
+    red = "text"
+    for _, pattern, token in PII_CLASSES:
+        esc = pattern.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST((length(redacted) - length(replace(redacted, '{token}', '')))"
+        f" // {len(token)} AS BIGINT) AS n_{name}"
+        for name, _, token in PII_CLASSES
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_CLASSES)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com from 10.0.'
+         || CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT % 256 AS VARCHAR)
+         || '.7 ssn 123-45-6789 card 4111222233334444'
+         || ' call +1 (555) 867-5309' AS text
+  FROM documents
+), red AS (
+  SELECT doc_id, {red} AS redacted FROM planted
+), counted AS (
+  SELECT doc_id, md5(redacted) AS redacted_md5,
+       {counts}
+  FROM red
+)
+SELECT *, CAST({total} AS BIGINT) AS n_pii FROM counted
+"""
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+         END AS tk
+  FROM documents
+), terms AS (
+  SELECT doc_id, unnest(tk) AS term FROM base
+), vocab AS (
+  SELECT term, count(*) AS cnt FROM terms GROUP BY 1
+), total AS (
+  SELECT sum(cnt) AS tot FROM vocab
+), vp AS (
+  -- per-token log-prob in integer micro-nats: FP sums are
+  -- order-dependent across engines, integer sums are exact
+  SELECT term,
+         CAST(round(ln(cnt * 1.0 / tot) * 1000000, 0) AS BIGINT)
+           AS lp_micro
+  FROM vocab, total
+), agg AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(v.lp_micro) AS BIGINT) AS sum_micro
+  FROM terms t JOIN vp v USING (term)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.sum_micro, 0) AS sum_micro,
+       round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+             THEN a.sum_micro / (a.n_tokens * 1000000.0)
+             ELSE 0.0 END, 6) AS mean_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """

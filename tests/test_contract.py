@@ -36,15 +36,26 @@ def test_coverage_map_mentions_every_query():
     assert not missing, f"COVERAGE.md is missing queries: {missing}"
 
 
-def test_never_checked_queries_lead_the_window():
-    """The driver's CORRECTNESS window took the first 50 entries in r3;
-    the four entries that had never appeared in any CORRECTNESS file
-    must sit inside the front window until a round records them."""
+def test_no_query_goes_two_rounds_unchecked():
+    """Rotation invariant: every registered query must appear either
+    in the LAST round's CORRECTNESS file or inside the front window
+    the driver will check THIS round (first 50 entries) — i.e. no
+    query is ever more than two rounds away from a hard driver check.
+    New queries (in neither prior file) must be in the front window."""
+    import json
+    import re
+
+    files = sorted(
+        f
+        for f in os.listdir(REPO)
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    )
+    assert files, "no CORRECTNESS files found"
+    last = set(json.load(open(os.path.join(REPO, files[-1]))))
     order = list(entry_mod.queries())
-    for name in (
-        "dedup_clusters",
-        "ann_ivf_topk",
-        "cogroup_asof_lag",
-        "simhash_cap_stats",
-    ):
-        assert order.index(name) < 50, (name, order.index(name))
+    window = set(order[:50])
+    stale = [n for n in order if n not in last and n not in window]
+    assert not stale, (
+        f"queries neither checked last round nor in this round's "
+        f"window: {stale}"
+    )

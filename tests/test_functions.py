@@ -970,3 +970,67 @@ def test_char_class_stats_cr_matches_duckdb_oracle(spark, tmp_path):
             r["n_digit"], r["n_space"], r["n_other"],
         ) == tuple(o[1:7]), (doc_id, dict(r.asDict()), o)
         assert abs(r["class_entropy"] - o[7]) <= 1e-6
+
+
+def test_fuzzy_name_pairs_suffix_block_catches_first_char_edits(spark):
+    """A first-char typo shares NO prefix block with its original, so
+    a prefix-only blocking pass is structurally blind to it; the
+    reversed-prefix pass must surface it at distance 1.  Also pins
+    pair-level dedup: a pair found by BOTH passes (edit in the
+    middle, shared prefix and suffix) appears exactly once."""
+    from mimeograph_spark.functions.dedup import fuzzy_name_pairs
+
+    rows = [
+        ("cold steel gear",),   # vs first-char typo: suffix pass only
+        ("xold steel gear",),
+        ("warm bronze bolt",),  # vs mid-edit: both passes -> once
+        ("warm bronxe bolt",),
+        ("unrelated thing",),
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    out = fuzzy_name_pairs(df, "name").collect()
+    pairs = {(r["name_a"], r["name_b"]): r["dist"] for r in out}
+    assert pairs[("cold steel gear", "xold steel gear")] == 1
+    assert pairs[("warm bronxe bolt", "warm bronze bolt")] == 1
+    assert len(out) == len(pairs) == 2
+
+
+def test_pii_scrub_matches_straight_line_python(spark):
+    """pii_scrub vs the same ordered redaction chain in plain Python
+    `re` (Perl-style leftmost-first greedy, like Java and RE2 for
+    these alternation-free patterns): redacted text and every class
+    count must match exactly, including the tricky compositions —
+    digit run inside an email (counts as email, never double-counts
+    as id), phone vs bare digit run, IPv4 octets never counted as
+    ids."""
+    import re as _re
+
+    from mimeograph_spark.functions.pii import PII_CLASSES, pii_scrub
+
+    rows = [
+        (1, "write to user12345678901@mail.example.org today"),
+        (2, "server 192.168.001.255 and card 4111222233334444"),
+        (3, "ssn 987-65-4321 or call +1 (555) 867-5309 x12"),
+        (4, "phone 555-123-4567 and id 123456789 and 12345678 short"),
+        (5, None),
+        (6, "plain text with no pii at all, just words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+    for doc_id, text in rows:
+        red = text or ""
+        for _, pattern, token in PII_CLASSES:
+            red = _re.sub(pattern, token, red)
+        r = got[doc_id]
+        assert r["redacted"] == red, (doc_id, r["redacted"], red)
+        total = 0
+        for name, _, token in PII_CLASSES:
+            want = red.count(token)
+            assert r[f"n_{name}"] == want, (doc_id, name, r)
+            total += want
+        assert r["n_pii"] == total
+    # the planted fixture classes land where intended
+    assert got[1]["n_email"] == 1 and got[1]["n_id"] == 0
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_id"] == 1
+    assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1
+    assert got[4]["n_phone"] == 1 and got[4]["n_id"] == 1
