@@ -237,6 +237,24 @@ def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (dedup.decontaminate_graded): longest
+    shared word n-gram per (train, eval) doc pair, probed n=4..13 —
+    near-verbatim leakage graded by window length instead of the flat
+    5-gram hit count of `decontaminate`.  Eval triples broadcast; the
+    corpus streams once (tokens staged, all probe lengths off one
+    flattened explode)."""
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
+    from mimeograph_spark.functions.dedup import decontaminate_graded
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = ensure_compute_parallelism(
+        docs.filter(F.col("doc_id") % 50 != 0)
+    )
+    return decontaminate_graded(train, ev, n_min=4, n_max=13)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (textstats.unigram_logprob): mean
     token log-prob per document under the corpus's own unigram model
@@ -947,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": relational.q11_important_stock,
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
+        "decontaminate_graded": q_decontaminate_graded,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1108,6 +1127,9 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": sql_oracles.Q11_IMPORTANT_STOCK_ORACLE,
         "pii_scrub": sql_oracles.pii_scrub_sql(),
         "unigram_logprob": sql_oracles.UNIGRAM_LOGPROB_ORACLE,
+        "decontaminate_graded": sql_oracles.decontaminate_graded_sql(
+            n_min=4, n_max=13
+        ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

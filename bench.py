@@ -171,6 +171,8 @@ HEADLINE_QUERIES = (
     "q19_disjunctive_brackets", "q21_waiting_suppliers",
     "q6_forecast_revenue", "q13_order_count_distribution",
     "q15_top_supplier", "char_stats", "sketch_rollup",
+    "q2_min_cost_supplier", "q11_important_stock", "pii_scrub",
+    "unigram_logprob", "decontaminate_graded", "fuzzy_name_pairs",
 )
 
 

@@ -71,20 +71,41 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
-    toks = F.split(
+def norm_tokens(text: Column) -> Column:
+    """Normalized word tokens (lowercase, whitespace-collapsed) — the
+    shared tokenizer under every shingle-based operator."""
+    return F.split(
         F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "
     )
+
+
+def shingles_from_tokens(
+    toks: Column, n: int, pad_short: bool = True
+) -> Column:
+    """Distinct word n-gram shingles from a pre-tokenized column.
+    Multi-n consumers stage the tokens ONCE and call this per n —
+    calling shingles(text, n) per n would inline the split/normalize
+    chain into every branch (the duplicated-expression disease).
+    With pad_short=False a text shorter than n yields NO grams
+    instead of one whole-text gram (graded decontamination wants
+    longest_n to mean a real n-token window)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array(F.array_join(toks, " "))
-        )
+    short = (
+        F.array(F.array_join(toks, " "))
+        if pad_short
+        else F.array().cast("array<string>")
     )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(short)
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    return shingles_from_tokens(norm_tokens(text), n)
 
 
 def shingle_hash(shingle: Column) -> Column:
@@ -418,6 +439,76 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched_ngrams"))
         .filter(F.col("n_matched_ngrams") >= min_matches)
+    )
+
+
+def decontaminate_graded(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_min: int = 5,
+    n_max: int = 13,
+) -> DataFrame:
+    """Graded decontamination: for every (train, eval) document pair
+    sharing at least one `n_min`-gram, the length of the LONGEST
+    shared word n-gram (probed up to `n_max`) — near-verbatim leakage
+    is graded, not just hit-counted (a 13-gram match is a different
+    problem than one shared 5-gram).  Output: (doc_id, eval_id,
+    longest_n), longest_n in [n_min, n_max].
+
+    Plan shape, same discipline as :func:`decontaminate`: the eval
+    side collapses to its distinct (n, gram-hash, eval_id) triples —
+    still benchmark-sized, broadcast — and the train side streams
+    ONCE: tokens are staged as one column and every probe length's
+    grams come off that array in a single flattened explode, so the
+    multi-n probe costs one scan + a wider explode, not one scan per
+    n.  The only shuffle is the final per-pair max.  Short texts
+    yield no grams at lengths beyond their token count (pad_short
+    off), so longest_n always describes a real n-token window."""
+    ns = list(range(n_min, n_max + 1))
+
+    def gram_structs(df: DataFrame, keep) -> DataFrame:
+        # tokens staged as a real column: each probe length references
+        # the array attribute, not 9 inlined copies of the
+        # split/normalize chain (the duplicated-expression disease)
+        staged = df.select(
+            *keep, norm_tokens(F.col(text_col)).alias("_toks")
+        )
+        # NB: the HOF lambda must take ONE arg — a two-parameter
+        # lambda (even `lambda g, n=n`) makes pyspark pass the array
+        # INDEX as the second argument instead of the closure value
+        def tag(n: int):
+            return lambda g: F.struct(
+                F.lit(n).alias("_n"), shingle_hash(g).alias("_g")
+            )
+
+        per_n = [
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), n, pad_short=False),
+                tag(n),
+            )
+            for n in ns
+        ]
+        return staged.select(
+            *keep, F.explode(F.flatten(F.array(*per_n))).alias("_s")
+        ).select(
+            *keep, F.col("_s._n").alias("_n"), F.col("_s._g").alias("_g")
+        )
+
+    ev = F.broadcast(
+        gram_structs(
+            eval_set.select(F.col(id_col).alias("eval_id"), text_col),
+            ["eval_id"],
+        ).distinct()
+    )
+    tr = gram_structs(
+        train.select(F.col(id_col).alias("doc_id"), text_col), ["doc_id"]
+    )
+    return (
+        tr.join(ev, on=["_n", "_g"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.max("_n").cast("int").alias("longest_n"))
     )
 
 

@@ -2075,3 +2075,53 @@ SELECT d.doc_id,
              ELSE 0.0 END, 6) AS mean_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def _shingles_nopad_sql(n: int) -> str:
+    """shingles_from_tokens(..., pad_short=False): texts shorter than
+    n yield NO grams (no whole-text fallback)."""
+    return (
+        f"CASE WHEN len(ntoks) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(ntoks) - {n - 1}), "
+        f"i -> array_to_string(ntoks[i:i+{n - 1}], ' '))) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def decontaminate_graded_sql(
+    n_min: int = 5, n_max: int = 13, modulus: int = 50
+) -> str:
+    """Mirrors dedup.decontaminate_graded: longest shared word n-gram
+    length per (train, eval) document pair, probed n_min..n_max."""
+    g = "('0x' || substr(md5(s), 1, 8))::BIGINT"
+    ns = range(n_min, n_max + 1)
+    ev_arms = "\n  UNION ALL\n".join(
+        f"  SELECT eval_id, {n} AS n, unnest(list_transform("
+        f"{_shingles_nopad_sql(n)}, s -> {g})) AS gh FROM ev_toks"
+        for n in ns
+    )
+    tr_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {n} AS n, unnest(list_transform("
+        f"{_shingles_nopad_sql(n)}, s -> {g})) AS gh FROM tr_toks"
+        for n in ns
+    )
+    return f"""
+WITH ev_toks AS (
+  SELECT doc_id AS eval_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} = 0
+), tr_toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} != 0
+), evg AS (
+  SELECT DISTINCT eval_id, n, gh FROM (
+{ev_arms}
+  )
+), tg AS (
+  SELECT doc_id, n, gh FROM (
+{tr_arms}
+  )
+)
+SELECT t.doc_id, e.eval_id, CAST(max(t.n) AS INT) AS longest_n
+FROM tg t JOIN evg e ON t.n = e.n AND t.gh = e.gh
+GROUP BY 1, 2
+"""

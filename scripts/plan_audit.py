@@ -41,6 +41,7 @@ PYTHON_OK = {
 SCALAR_ATTACH_OK = {
     "tfidf_top_terms", "q14_promo_revenue", "q22_dormant_customers",
     "ann_cosine_topk", "ann_ivf_topk",
+    "unigram_logprob",  # 1-row corpus token total onto the vocab
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /
@@ -55,6 +56,10 @@ SCAN_BUDGET = {
     "dedup_exact": 2, "embedding_near_dups": 2,
     "decontaminate": 2, "global_index": 2, "length_percentiles": 2,
     "curate_documents": 2, "udtf_token_chunks": 2,
+    "decontaminate_graded": 2,  # train + eval legs
+    # q2/q11: partsupp synthesis scans part + supplier(count), the
+    # eligible frame adds supplier/nation/region, q2's outer adds part
+    "q2_min_cost_supplier": 6, "q11_important_stock": 5,
 }
 DEFAULT_SCAN_BUDGET = 4
 

@@ -1034,3 +1034,33 @@ def test_pii_scrub_matches_straight_line_python(spark):
     assert got[2]["n_ipv4"] == 1 and got[2]["n_id"] == 1
     assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1
     assert got[4]["n_phone"] == 1 and got[4]["n_id"] == 1
+
+
+def test_decontaminate_graded_planted_windows(spark):
+    """Planted overlaps of known window lengths: longest_n must equal
+    the exact planted window size, pairs below n_min must not appear,
+    and a short eval doc (fewer tokens than n_min) contributes
+    nothing (pad_short=False: no whole-text fallback gram)."""
+    from mimeograph_spark.functions.dedup import decontaminate_graded
+
+    eval_rows = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "one two three"),  # 3 tokens < n_min=4 -> invisible
+    ]
+    train_rows = [
+        # shares exactly a 6-token window with eval 100
+        (1, "xx yy beta gamma delta epsilon zeta eta zz ww vv uu tt"),
+        # shares exactly a 4-token window
+        (2, "beta gamma delta epsilon QQ RR SS TT UU VV WW XX YY ZZ"),
+        # shares only a 3-token window -> below n_min, absent
+        (3, "beta gamma delta JJ KK LL MM NN OO PP QQ RR SS TT"),
+        # contains eval 101 verbatim but eval 101 is too short
+        (4, "one two three JJ KK LL MM NN OO PP QQ RR SS TT"),
+    ]
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["eval_id"]): r["longest_n"]
+        for r in decontaminate_graded(tr, ev, n_min=4, n_max=13).collect()
+    }
+    assert got == {(1, 100): 6, (2, 100): 4}
