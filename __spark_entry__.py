@@ -255,6 +255,46 @@ def q_decontaminate_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_graded(train, ev, n_min=4, n_max=13)
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection
+    (functions/boilerplate.boilerplate_ngrams): top-5 word bigrams by
+    within-source document frequency among those present in >=20% of
+    the source's documents — the corpus-side template catch that
+    complements the HTML-side link-density strip.  One scan; integer
+    doc-count ranking; WindowGroupLimit top-k.  min_ratio=0.12 here,
+    not the 0.2 operator default: the synthetic corpus has no true
+    template text, and its bigram doc-frequency concentrates toward
+    its ~0.11 mean as sources grow (0.2 selects variance outliers
+    that exist at sf0.01 but vanish by sf0.1 — the empties-at-scale
+    trap), so the fixture probes just above the mean to keep rows at
+    every SF."""
+    from mimeograph_spark.functions.boilerplate import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _read(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        min_ratio=0.12,
+    )
+
+
+MIXTURE_FRACTIONS = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125,
+                     "zh": 0.125}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture quota sampling (sampling.mixture_sample):
+    a 20%-of-corpus sample whose language composition is pinned to
+    50% en / 12.5% each remaining — integer quotas off one corpus
+    count, membership = the md5-order prefix per language, exactly
+    reproducible on any partitioning and in DuckDB."""
+    from mimeograph_spark.functions.sampling import mixture_sample
+
+    return mixture_sample(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang"),
+        MIXTURE_FRACTIONS,
+        target_ratio=0.2,
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (textstats.unigram_logprob): mean
     token log-prob per document under the corpus's own unigram model
@@ -966,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "unigram_logprob": q_unigram_logprob,
         "decontaminate_graded": q_decontaminate_graded,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "mixture_sample": q_mixture_sample,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1129,6 +1171,12 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": sql_oracles.UNIGRAM_LOGPROB_ORACLE,
         "decontaminate_graded": sql_oracles.decontaminate_graded_sql(
             n_min=4, n_max=13
+        ),
+        "boilerplate_ngrams": sql_oracles.boilerplate_ngrams_sql(
+            min_ratio=0.12
+        ),
+        "mixture_sample": sql_oracles.mixture_sample_sql(
+            MIXTURE_FRACTIONS, target_ratio=0.2
         ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

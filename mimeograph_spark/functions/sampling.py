@@ -175,3 +175,60 @@ def with_split(
         )
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    target_ratio: float = 0.2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture construction: draw a deterministic sample
+    whose GROUP COMPOSITION matches `fractions` (e.g. 50% en, 12.5%
+    each for the rest), sized `target_ratio` of the corpus — the
+    quota-sampling step that turns a crawl's natural skew into the
+    mixture a training run actually wants.  Groups absent from
+    `fractions` are excluded.  Output: (id, group) of the selected
+    rows.
+
+    Determinism/exactness: each group's quota is
+    floor(corpus_count * target_ratio * fraction) — pure integer
+    arithmetic off one corpus count — and membership is the quota
+    prefix of the group's md5 order (rank by (md5(id), id)), so the
+    selection is reproducible across runs, partitionings, and
+    engines, unlike seeded RNG sampling.  Scale shape: one scan; the
+    1-row corpus count attaches as a broadcast; the per-group rank is
+    a WindowGroupLimit (rank <= quota cuts partial top-k per
+    partition before the shuffle, so the full corpus is never
+    window-sorted)."""
+    from pyspark.sql import Window
+
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    quota = F.create_map(
+        *[
+            x
+            for g, frac in sorted(fractions.items())
+            for x in (F.lit(g), F.lit(frac))
+        ]
+    )
+    w = Window.partitionBy("_grp").orderBy("_h", "_id")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), F.col(group_col).alias("_grp")
+        )
+        .filter(F.col("_grp").isin(*fractions.keys()))
+        .crossJoin(F.broadcast(total))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .withColumn(
+            "_quota",
+            F.floor(
+                F.col("_total") * F.lit(target_ratio) * quota[F.col("_grp")]
+            ).cast("long"),
+        )
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.col("_quota"))
+        .select(
+            F.col("_id").alias(id_col), F.col("_grp").alias(group_col)
+        )
+    )

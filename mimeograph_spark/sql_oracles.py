@@ -2125,3 +2125,60 @@ SELECT t.doc_id, e.eval_id, CAST(max(t.n) AS INT) AS longest_n
 FROM tg t JOIN evg e ON t.n = e.n AND t.gh = e.gh
 GROUP BY 1, 2
 """
+
+
+def boilerplate_ngrams_sql(
+    n: int = 2, min_ratio: float = 0.2, top_k: int = 5
+) -> str:
+    """Mirrors functions/boilerplate.boilerplate_ngrams over the
+    documents table grouped by source."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents
+), grams AS (
+  SELECT source, unnest({_shingles_nopad_sql(n)}) AS gram FROM toks
+), dfreq AS (
+  SELECT source, gram, count(*) AS n_docs FROM grams GROUP BY 1, 2
+), totals AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), ranked AS (
+  SELECT d.source, d.gram, d.n_docs, t.n,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY d.n_docs DESC, d.gram ASC
+         ) AS rank
+  FROM dfreq d JOIN totals t USING (source)
+  WHERE d.n_docs >= t.n * {min_ratio}
+)
+SELECT source, gram, CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs * 1.0 / n, 6) AS doc_ratio, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {top_k}
+"""
+
+
+def mixture_sample_sql(
+    fractions: dict[str, float], target_ratio: float = 0.2
+) -> str:
+    """Mirrors functions/sampling.mixture_sample over documents/lang:
+    per-group quota = floor(total * target_ratio * fraction), taken
+    as the group's md5-order prefix."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN {frac}" for g, frac in sorted(fractions.items())
+    )
+    langs = ", ".join(f"'{g}'" for g in sorted(fractions))
+    return f"""
+WITH total AS (
+  SELECT count(*) AS n FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk,
+         CAST(floor(n * {target_ratio} * CASE lang {cases} END)
+              AS BIGINT) AS quota
+  FROM documents, total
+  WHERE lang IN ({langs})
+)
+SELECT doc_id, lang FROM ranked WHERE rnk <= quota
+"""

@@ -10,13 +10,14 @@ order-insensitive stringified values.
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
 import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
