@@ -295,6 +295,44 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-level dedup (dedup.line_dedup) — the C4
+    recipe: a line that repeats anywhere in the corpus survives only
+    at its first (doc, position) occurrence.  The synthetic documents
+    are single-line, so the fixture plants a 5-line page per doc —
+    own text, a whitespace-only line (dropped), a corpus-wide banner
+    (survives once, in the min doc), a footer shared per doc_id%7
+    (survives once per variant), then the own text again (intra-doc
+    repeat, dropped) — covering all three dedup scenarios with
+    deterministic expected outcomes.  Output hashes clean_text so the
+    driver's value compare covers the re-joined surviving lines, not
+    just the counts."""
+    from mimeograph_spark.functions.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("   "),
+            F.lit("Subscribe to our newsletter for updates"),
+            F.concat(
+                F.lit("(c) example.org mirror "),
+                (F.col("doc_id") % F.lit(7)).cast("string"),
+            ),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = line_dedup(planted)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score (textstats.unigram_logprob): mean
     token log-prob per document under the corpus's own unigram model
@@ -1008,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_graded": q_decontaminate_graded,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "mixture_sample": q_mixture_sample,
+        "line_dedup": q_line_dedup,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1178,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": sql_oracles.mixture_sample_sql(
             MIXTURE_FRACTIONS, target_ratio=0.2
         ),
+        "line_dedup": sql_oracles.LINE_DEDUP_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

@@ -752,3 +752,100 @@ def fuzzy_name_pairs(
         .filter(F.col("dist") <= max_dist)
     )
     return register_cap_stats(register_persisted(out, sized), stats)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos_modulus: int = 1_000_000,
+    single_scan: bool = True,
+) -> DataFrame:
+    """Corpus-global line-level deduplication (the C4 recipe,
+    cf. "Exploring the Limits of Transfer Learning" §2.2): every
+    line whose normalized form (lower + trim) occurs anywhere else in
+    the corpus survives only at its FIRST occurrence — (min doc id,
+    then min line position) — and is removed everywhere else.  Web
+    boilerplate that repeats verbatim across pages (cookie banners,
+    footers, navigation) is exactly such a line.  Blank /
+    whitespace-only lines are dropped outright.  Output, one row per
+    input document: (id, n_lines, n_kept, clean_text) where
+    clean_text re-joins the surviving lines in original order and
+    n_lines counts the non-blank input lines.
+
+    Scale shape: ONE corpus scan feeds the whole pipeline —
+    posexplode to (id, pos, line) with a blank flag carried through
+    (blank rows stay, so every input doc reaches the final
+    aggregation and no join back to the source is needed);
+    first-occurrence is an integer-key `min` aggregation per line
+    hash over the non-blank rows (map-side partial combine collapses
+    each partition's repeats BEFORE the shuffle, which is what makes
+    a line repeated a billion times survivable); one equi-join of the
+    lines against that distinct-hash frame (AQE skew-split applies —
+    the downstream groupBy is on the doc id, not the join key, so the
+    split is not blocked); then one per-doc aggregation whose
+    kept-lines ordering is array_sort over (pos, line) structs — no
+    global sort, no window over the corpus.  With `single_scan` the
+    exploded frame is persisted for its two consumers (the tfidf
+    pattern); pass False on a cluster where re-scanning the source
+    is cheaper than caching the exploded corpus.  The
+    first-occurrence key packs (id, pos) into one BIGINT
+    (`id * pos_modulus + pos`) so the `min` stays a primitive-typed
+    aggregate on every engine; the packing requires every document to
+    have fewer than `pos_modulus` lines — raise the modulus for
+    pathological inputs (BIGINT holds id * modulus up to ~9e18).
+    """
+    lid = F.col(id_col).cast("long")
+    lines = df.select(
+        lid.alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
+    ).select(
+        "_id",
+        "_pos",
+        "_line",
+        (F.length(F.trim(F.col("_line"))) > 0).alias("_nb"),
+        F.md5(F.lower(F.trim(F.col("_line")))).alias("_lhash"),
+        (F.col("_id") * F.lit(pos_modulus) + F.col("_pos")).alias("_okey"),
+    )
+    if single_scan:
+        lines = lines.persist()
+    first = (
+        lines.filter(F.col("_nb"))
+        .groupBy("_lhash")
+        .agg(F.min("_okey").alias("_keep"))
+    )
+    flagged = lines.join(first, "_lhash", "left").select(
+        "_id",
+        "_pos",
+        "_line",
+        "_nb",
+        F.coalesce(
+            F.col("_nb") & (F.col("_okey") == F.col("_keep")), F.lit(False)
+        ).alias("_kept"),
+    )
+    out = flagged.groupBy("_id").agg(
+        F.sum(F.col("_nb").cast("long")).cast("long").alias("n_lines"),
+        F.sum(F.col("_kept").cast("long")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_kept"),
+                            F.struct(
+                                F.col("_pos").alias("p"),
+                                F.col("_line").alias("l"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+        ).alias("clean_text"),
+    ).select(
+        F.col("_id").alias(id_col), "n_lines", "n_kept", "clean_text"
+    )
+    return register_persisted(out, lines) if single_scan else out

@@ -2182,3 +2182,44 @@ WITH total AS (
 )
 SELECT doc_id, lang FROM ranked WHERE rnk <= quota
 """
+
+
+LINE_DEDUP_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         concat_ws(chr(10), text, '   ',
+                   'Subscribe to our newsletter for updates',
+                   '(c) example.org mirror ' || (doc_id % 7),
+                   text) AS text
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS ln,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+  FROM planted
+), lines AS (
+  SELECT doc_id, pos, ln,
+         md5(lower(trim(ln))) AS lhash,
+         doc_id * 1000000 + pos AS okey
+  FROM exploded
+  WHERE length(trim(ln)) > 0
+), first_occ AS (
+  SELECT lhash, min(okey) AS keep FROM lines GROUP BY lhash
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.ln, (l.okey = f.keep) AS kept
+  FROM lines l JOIN first_occ f USING (lhash)
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+         coalesce(
+           string_agg(CASE WHEN kept THEN ln END, chr(10) ORDER BY pos),
+           '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(a.clean_text, '')) AS clean_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -42,6 +42,7 @@ SCALAR_ATTACH_OK = {
     "tfidf_top_terms", "q14_promo_revenue", "q22_dormant_customers",
     "ann_cosine_topk", "ann_ivf_topk",
     "unigram_logprob",  # 1-row corpus token total onto the vocab
+    "mixture_sample",  # 1-row corpus count onto the per-group quotas
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /

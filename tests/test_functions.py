@@ -1064,3 +1064,29 @@ def test_decontaminate_graded_planted_windows(spark):
         for r in decontaminate_graded(tr, ev, n_min=4, n_max=13).collect()
     }
     assert got == {(1, 100): 6, (2, 100): 4}
+
+
+def test_line_dedup_semantics(spark):
+    from mimeograph_spark.functions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nalpha\n   \nunique one"),
+            (2, "beta\nShared Footer  \nbeta two"),
+            (3, "\n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(df).collect()
+    }
+    # doc 1: 4 non-blank lines; 'alpha' repeat at pos 2 dropped
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "alpha\nshared footer\nunique one"
+    # doc 2: footer matches doc 1's (case/trim-insensitive) -> dropped
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+    assert out[2]["clean_text"] == "beta\nbeta two"
+    # doc 3: whitespace-only -> zero lines, empty clean_text
+    assert out[3]["n_lines"] == 0 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
