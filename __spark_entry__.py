@@ -968,6 +968,26 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(shifted), dim=64)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup (similarity.semantic_dedup) over
+    embeddings plus an id-shifted exact copy: the copies land in the
+    same k-means cell as their originals at cosine 1.0, so every
+    shifted vector is flagged is_dup while the near-uniform organic
+    corpus (top cosine ~0.4) survives — deterministic expected
+    outcome at any SF.  Cluster-confined all-pairs (the SemDedup
+    O(sum c_i^2) trick), one distinct dup-id set, no pair list in the
+    output."""
+    from mimeograph_spark.functions.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        emb.unionByName(shifted), threshold=0.95, refine_iters=1
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> typed metadata (decode stage plumbing;
     rows-only driver check, payloads aren't SQL-expressible)."""
@@ -1047,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "mixture_sample": q_mixture_sample,
         "line_dedup": q_line_dedup,
+        "semantic_dedup": q_semantic_dedup,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1218,6 +1239,9 @@ def oracle_sql() -> dict[str, str]:
             MIXTURE_FRACTIONS, target_ratio=0.2
         ),
         "line_dedup": sql_oracles.LINE_DEDUP_ORACLE,
+        "semantic_dedup": sql_oracles.semantic_dedup_sql(
+            threshold=0.95, refine_iters=1
+        ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

@@ -626,3 +626,79 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    centroid_step: int = 50,
+    dim: int = 64,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the same
+    deterministic k-means the IVF family uses (centroid seed =
+    ``id % centroid_step == 1``, Lloyd rounds with 6-decimal
+    component rounding), then within each cluster mark every vector
+    that has a cosine >= ``threshold`` neighbour with a SMALLER id as
+    a semantic duplicate — the survivor of any near-identical group
+    is its min-id member.  Output, one row per corpus vector:
+    (vec_id, cid, is_dup).
+
+    Scale shape: the all-pairs comparison is confined to each Voronoi
+    cell — the SemDedup trick that turns O(n^2) into O(sum c_i^2) —
+    and runs as a plain equi-join on cid (AQE skew-split applies; the
+    dup set is collapsed to distinct ids before it touches the
+    output, so no pair list survives the stage).  Assignment is the
+    broadcast-centroid cross join shared with ``ivf_topk``; the
+    staged base frame is persisted once (it feeds the centroid seed,
+    every Lloyd round, and the final assignment — ONE corpus scan),
+    and the assigned frame once for its three consumers (join left,
+    join right, output spine).
+    """
+    cvec = F.col(vec_col).cast("array<double>")
+    base = (
+        corpus.select(F.col(id_col).alias("vec_id"), cvec.alias("_cvec"))
+        .withColumn("_cn", l2_norm(F.col("_cvec")))
+        .persist()
+    )
+    cent = F.broadcast(
+        base.filter(F.col("vec_id") % centroid_step == 1).select(
+            F.col("vec_id").alias("cid"),
+            F.col("_cvec").alias("_cent"),
+            F.col("_cn").alias("_centn"),
+        )
+    )
+    if refine_iters > 0:
+        cent = _kmeans_refine(base, cent, dim, refine_iters)
+    assigned = _assign_cells(base, cent).persist()
+    right = assigned.select(
+        F.col("vec_id").alias("_bid"),
+        "cid",
+        F.col("_cvec").alias("_bvec"),
+        F.col("_cn").alias("_bn"),
+    )
+    sim = F.round(
+        dot(F.col("_cvec"), F.col("_bvec")) / (F.col("_cn") * F.col("_bn")),
+        6,
+    )
+    dup_ids = (
+        assigned.select("vec_id", "cid", "_cvec", "_cn")
+        .join(right, "cid")
+        .filter(F.col("vec_id") < F.col("_bid"))
+        .filter(sim >= threshold)
+        .select(F.col("_bid").alias("vec_id"))
+        .distinct()
+        .withColumn("_isd", F.lit(True))
+    )
+    out = (
+        assigned.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("_isd"), F.lit(False)).alias("is_dup"),
+        )
+    )
+    return register_persisted(out, base, assigned)

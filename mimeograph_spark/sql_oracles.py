@@ -2223,3 +2223,72 @@ SELECT d.doc_id,
        md5(coalesce(a.clean_text, '')) AS clean_md5
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.95,
+    centroid_step: int = 50,
+    dim: int = 64,
+    refine_iters: int = 1,
+    shift: int = 1_000_000,
+) -> str:
+    """Mirrors similarity.semantic_dedup over embeddings plus an
+    id-shifted exact copy (the planted-duplicate fixture): same
+    deterministic centroid seed, Lloyd rounds with 6-decimal means,
+    rounded-cosine argmax assignment (ties to the lowest cid), then
+    is_dup = EXISTS a smaller-id same-cell neighbour with rounded
+    cosine >= threshold."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    refine_ctes = []
+    for t in range(refine_iters):
+        mean_list = ", ".join(
+            f"round(avg(vec[{i + 1}]), 6)" for i in range(dim)
+        )
+        refine_ctes.append(f"""a_{t} AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT b.vec_id, b.vec, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id ORDER BY
+             {cos.format(a="b.vec", b="c.cvec")} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent_{t} c
+  ) WHERE rn = 1
+), m_{t} AS (
+  SELECT cid, [{mean_list}] AS mvec FROM a_{t} GROUP BY cid
+), cent_{t + 1} AS (
+  SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+  FROM cent_{t} c LEFT JOIN m_{t} m USING (cid)
+)""")
+    refine_sql = ", " + ", ".join(refine_ctes) if refine_ctes else ""
+    return f"""
+WITH src AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id + {shift}, embedding::DOUBLE[] AS vec FROM embeddings
+), cent_0 AS (
+  SELECT vec_id AS cid, vec AS cvec FROM src
+  WHERE vec_id % {centroid_step} = 1
+), base AS (
+  SELECT vec_id, vec FROM src
+){refine_sql}, cent AS (
+  SELECT cid, cvec FROM cent_{refine_iters}
+), assigned AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT b.vec_id, b.vec, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id ORDER BY
+             {cos.format(a="b.vec", b="c.cvec")} DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cent c
+  ) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned b JOIN assigned a
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos.format(a="a.vec", b="b.vec")} >= {threshold}
+)
+SELECT s.vec_id, s.cid, (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned s LEFT JOIN dups d USING (vec_id)
+"""

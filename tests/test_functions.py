@@ -1090,3 +1090,25 @@ def test_line_dedup_semantics(spark):
     # doc 3: whitespace-only -> zero lines, empty clean_text
     assert out[3]["n_lines"] == 0 and out[3]["n_kept"] == 0
     assert out[3]["clean_text"] == ""
+
+
+def test_semantic_dedup_semantics(spark):
+    from mimeograph_spark.functions.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),   # near-copy of 1 -> dup
+            (3, [0.0, 1.0]),
+            (4, [0.01, 0.999]),   # near-copy of 3 -> dup
+            (6, [0.7, 0.7]),      # alone in its neighbourhood
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, threshold=0.95, centroid_step=2, dim=2, refine_iters=1
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: False, 4: True, 6: False}
