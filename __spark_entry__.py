@@ -968,6 +968,19 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(shifted), dim=64)
 
 
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes classifier trained and applied
+    in-corpus (nbclassifier.nb_train_predict): predict each doc's
+    lang from its token distribution — the CCNet/fastText-style
+    source-quality-classifier shape.  Integer micro-nat scores make
+    the argmax and tie-breaks bit-identical across engines."""
+    from mimeograph_spark.functions.nbclassifier import nb_train_predict
+
+    return nb_train_predict(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style semantic dedup (similarity.semantic_dedup) over
     embeddings plus an id-shifted exact copy: the copies land in the
@@ -1068,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "line_dedup": q_line_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "nb_lang_classifier": q_nb_lang_classifier,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1242,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": sql_oracles.semantic_dedup_sql(
             threshold=0.95, refine_iters=1
         ),
+        "nb_lang_classifier": sql_oracles.NB_LANG_CLASSIFIER_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

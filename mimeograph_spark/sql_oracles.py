@@ -2292,3 +2292,53 @@ WITH src AS (
 SELECT s.vec_id, s.cid, (d.vec_id IS NOT NULL) AS is_dup
 FROM assigned s LEFT JOIN dups d USING (vec_id)
 """
+
+
+NB_LANG_CLASSIFIER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+         END AS tk
+  FROM documents
+), tokens AS (
+  SELECT doc_id, lang, unnest(tk) AS term FROM base
+), docs AS (
+  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS nd FROM base
+), totals AS (
+  SELECT (SELECT count(*) FROM base) AS tdocs,
+         (SELECT count(DISTINCT term) FROM tokens) AS v
+), clsagg AS (
+  SELECT lang AS cls, count(*) AS cdocs, sum(len(tk)) AS ctoks
+  FROM base GROUP BY 1
+), classes AS (
+  -- integer micro-nats BEFORE summation (the unigram_logprob
+  -- convention): FP sums are order-dependent across engines
+  SELECT cls,
+         CAST(round(ln(cdocs * 1.0 / tdocs) * 1000000, 0) AS BIGINT)
+           AS prior,
+         CAST(round(ln((coalesce(ctoks, 0) + v) * 1.0) * 1000000, 0)
+              AS BIGINT) AS z
+  FROM clsagg, totals
+), weights AS (
+  SELECT term, lang AS cls,
+         CAST(round(ln((count(*) + 1) * 1.0) * 1000000, 0) AS BIGINT)
+           AS w
+  FROM tokens GROUP BY 1, 2
+), per_dc AS (
+  SELECT t.doc_id, w.cls, CAST(sum(w.w) AS BIGINT) AS sw
+  FROM tokens t JOIN weights w USING (term) GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, d.lang, c.cls,
+         c.prior + coalesce(p.sw, 0) - d.nd * c.z AS score
+  FROM docs d CROSS JOIN classes c
+  LEFT JOIN per_dc p ON p.doc_id = d.doc_id AND p.cls = c.cls
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, cls AS pred, (cls = lang) AS correct,
+       CAST(score AS BIGINT) AS score_micro
+FROM ranked WHERE rn = 1
+"""

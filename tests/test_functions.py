@@ -1112,3 +1112,23 @@ def test_semantic_dedup_semantics(spark):
         ).collect()
     }
     assert out == {1: False, 2: True, 3: False, 4: True, 6: False}
+
+
+def test_nb_classifier_separable(spark):
+    from mimeograph_spark.functions.nbclassifier import nb_train_predict
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "apple apple banana"),
+            (2, "a", "apple banana banana"),
+            (3, "b", "zebra zebra yak"),
+            (4, "b", "zebra yak yak"),
+            (5, "a", ""),  # empty doc -> argmax prior (a: 3 of 5 docs)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in nb_train_predict(df).collect()}
+    assert len(out) == 5
+    for i in (1, 2, 3, 4, 5):
+        assert out[i]["correct"], (i, out[i]["pred"])
+    assert out[5]["pred"] == "a"
