@@ -968,6 +968,45 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(shifted), dim=64)
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction
+    (functions/urls.normalize_urls).  The testdata has no URL column,
+    so the fixture plants one per doc covering every normalization
+    rule — mixed-case scheme/host, default vs non-default ports,
+    two-level public suffixes (.co.uk/.com.au), trailing slashes,
+    tracking params (utm_*/fbclid), unsorted params, fragments — all
+    deterministic from doc_id; the oracle re-implements the
+    normalization independently over the identical planted URL
+    (RE2 side), making this a semantics check, not an echo."""
+    from mimeograph_spark.functions.urls import normalize_urls
+
+    did = F.col("doc_id")
+
+    def pick(m, *opts):
+        return F.element_at(
+            F.array(*[F.lit(o) for o in opts]),
+            (did % m + 1).cast("int"),
+        )
+
+    planted = _read(spark, sf_dir, "documents").select(
+        F.concat(
+            pick(3, "http", "https", "HTTP"),
+            F.lit("://WWW.Example"),
+            (did % 5).cast("string"),
+            pick(4, ".com", ".co.uk", ".org", ".com.au"),
+            pick(3, ":80", ":443", ":8080"),
+            F.lit("/A/b"),
+            (did % 7).cast("string"),
+            F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("?utm_campaign=c&z=9&a=1"))
+            .otherwise(F.lit("?b=2&a=1&fbclid=x")),
+            F.lit("#sec"),
+            (did % 3).cast("string"),
+        ).alias("url")
+    )
+    return normalize_urls(planted)
+
+
 def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes classifier trained and applied
     in-corpus (nbclassifier.nb_train_predict): predict each doc's
@@ -1082,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "semantic_dedup": q_semantic_dedup,
         "nb_lang_classifier": q_nb_lang_classifier,
+        "url_normalize": q_url_normalize,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1257,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.95, refine_iters=1
         ),
         "nb_lang_classifier": sql_oracles.NB_LANG_CLASSIFIER_ORACLE,
+        "url_normalize": sql_oracles.URL_NORMALIZE_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

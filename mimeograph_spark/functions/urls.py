@@ -1,0 +1,124 @@
+"""URL canonicalization and registered-domain extraction — the
+web-corpus grouping keys every crawl pipeline needs before dedup,
+per-site quotas, or domain-level quality scores.
+
+Normalization applied (the common-crawl-style canonical form):
+lowercase scheme and host, strip default ports (:80 http / :443
+https), drop the fragment, remove tracking parameters (utm_*, fbclid,
+gclid, ref), sort the surviving query parameters, and strip a
+trailing slash from non-root paths.  Path case and non-default ports
+are preserved — paths are case-sensitive per RFC 3986.
+
+The registered domain uses a built-in two-level-suffix table (the
+public-suffix-list idea reduced to the common second-level suffixes;
+swap in the full PSL as a broadcast table for production crawls).
+
+Everything is regexp/array codegen — zero shuffle, zero Python, one
+scan; expressions are staged as real columns per select so Catalyst's
+CollapseProject cannot inline any regex N times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# second-level public suffixes where the registered domain is the
+# last THREE labels
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "org.uk", "gov.uk", "com.au", "net.au",
+    "co.jp", "com.br", "co.in", "com.cn", "co.nz", "com.mx",
+)
+
+_TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One output row per input row: (url, norm_url, host,
+    registered_domain, n_params) — norm_url the canonical form, host
+    the lowercased port-less hostname."""
+    out = df.select(
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.regexp_extract(F.col(url_col), "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+        ).alias("_scheme"),
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+            )
+        ).alias("_auth"),
+        F.regexp_extract(
+            F.col(url_col),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)",
+            1,
+        ).alias("_rawpath"),
+        F.regexp_extract(F.col(url_col), "\\?([^#]*)", 1).alias("_rawq"),
+    )
+    out = out.select(
+        "url",
+        "_scheme",
+        F.regexp_replace(F.col("_auth"), ":[0-9]+$", "").alias("_host"),
+        F.regexp_extract(F.col("_auth"), ":([0-9]+)$", 1).alias("_port"),
+        F.when(F.col("_rawpath") == "", F.lit("/"))
+        .otherwise(
+            F.when(
+                (F.length(F.col("_rawpath")) > 1)
+                & F.col("_rawpath").endswith("/"),
+                F.expr("substring(_rawpath, 1, length(_rawpath) - 1)"),
+            ).otherwise(F.col("_rawpath"))
+        )
+        .alias("_path"),
+        F.array_sort(
+            F.filter(
+                F.split(F.col("_rawq"), "&"),
+                lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_RE),
+            )
+        ).alias("_params"),
+    )
+    out = out.select(
+        "url",
+        "_scheme",
+        "_host",
+        # default ports vanish; everything else is kept verbatim
+        F.when(
+            ((F.col("_scheme") == "http") & (F.col("_port") == "80"))
+            | ((F.col("_scheme") == "https") & (F.col("_port") == "443"))
+            | (F.col("_port") == ""),
+            F.lit(""),
+        )
+        .otherwise(F.concat(F.lit(":"), F.col("_port")))
+        .alias("_portseg"),
+        "_path",
+        F.size(F.col("_params")).alias("n_params"),
+        F.when(F.size(F.col("_params")) > 0, F.concat(F.lit("?"),
+               F.concat_ws("&", F.col("_params"))))
+        .otherwise(F.lit(""))
+        .alias("_qseg"),
+        F.split(F.col("_host"), "\\.").alias("_labels"),
+    )
+    n = F.size(F.col("_labels"))
+    last2 = F.concat_ws(
+        ".", F.slice(F.col("_labels"), F.greatest(n - 1, F.lit(1)), F.lit(2))
+    )
+    last3 = F.concat_ws(
+        ".", F.slice(F.col("_labels"), F.greatest(n - 2, F.lit(1)), F.lit(3))
+    )
+    return out.select(
+        "url",
+        F.concat(
+            F.col("_scheme"),
+            F.lit("://"),
+            F.col("_host"),
+            F.col("_portseg"),
+            F.col("_path"),
+            F.col("_qseg"),
+        ).alias("norm_url"),
+        F.col("_host").alias("host"),
+        F.when(
+            (n >= 3) & last2.isin(*TWO_LEVEL_SUFFIXES), last3
+        )
+        .when(n >= 2, last2)
+        .otherwise(F.col("_host"))
+        .alias("registered_domain"),
+        "n_params",
+    )

@@ -2342,3 +2342,68 @@ SELECT doc_id, lang, cls AS pred, (cls = lang) AS correct,
        CAST(score AS BIGINT) AS score_micro
 FROM ranked WHERE rn = 1
 """
+
+
+URL_NORMALIZE_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+    ['http','https','HTTP'][CAST(doc_id % 3 + 1 AS INT)] ||
+    '://WWW.Example' || (doc_id % 5) ||
+    ['.com','.co.uk','.org','.com.au'][CAST(doc_id % 4 + 1 AS INT)] ||
+    [':80',':443',':8080'][CAST(doc_id % 3 + 1 AS INT)] ||
+    '/A/b' || (doc_id % 7) ||
+    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id % 2 = 0 THEN '?utm_campaign=c&z=9&a=1'
+         ELSE '?b=2&a=1&fbclid=x' END ||
+    '#sec' || (doc_id % 3) AS url
+  FROM documents
+), ext AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) AS scheme,
+    lower(regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+    regexp_extract(url,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+  FROM planted
+), st AS (
+  SELECT url, scheme,
+    regexp_replace(auth, ':[0-9]+$', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    CASE WHEN rawpath = '' THEN '/'
+         WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+           THEN substring(rawpath, 1, length(rawpath) - 1)
+         ELSE rawpath END AS path,
+    list_sort(list_filter(string_split(rawq, '&'),
+      x -> length(x) > 0 AND NOT regexp_matches(x,
+           '^(utm_[^=]*|fbclid|gclid|ref)='))) AS params
+  FROM ext
+), built AS (
+  SELECT url, scheme, host, path,
+    CASE WHEN (scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443')
+           OR port = '' THEN ''
+         ELSE ':' || port END AS portseg,
+    CAST(len(params) AS INT) AS n_params,
+    CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+         ELSE '' END AS qseg,
+    string_split(host, '.') AS labels
+  FROM st
+)
+SELECT url,
+  scheme || '://' || host || portseg || path || qseg AS norm_url,
+  host,
+  CASE WHEN len(labels) >= 3 AND
+            array_to_string(
+              list_slice(labels, len(labels) - 1, len(labels)), '.')
+            IN ('co.uk','ac.uk','org.uk','gov.uk','com.au','net.au',
+                'co.jp','com.br','co.in','com.cn','co.nz','com.mx')
+       THEN array_to_string(
+              list_slice(labels, len(labels) - 2, len(labels)), '.')
+       WHEN len(labels) >= 2
+       THEN array_to_string(
+              list_slice(labels, len(labels) - 1, len(labels)), '.')
+       ELSE host END AS registered_domain,
+  n_params
+FROM built
+"""

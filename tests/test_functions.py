@@ -1132,3 +1132,33 @@ def test_nb_classifier_separable(spark):
     for i in (1, 2, 3, 4, 5):
         assert out[i]["correct"], (i, out[i]["pred"])
     assert out[5]["pred"] == "a"
+
+
+def test_normalize_urls_rules(spark):
+    from mimeograph_spark.functions.urls import normalize_urls
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://WWW.Example.COM:80/Path/?b=2&utm_source=x&a=1#frag",),
+            ("https://news.bbc.co.uk:443/story",),
+            ("https://a.b.example.com.au:8443/x/",),
+            ("http://localhost/",),
+        ],
+        "url string",
+    )
+    out = {r["url"]: r for r in normalize_urls(df).collect()}
+    r = out["HTTP://WWW.Example.COM:80/Path/?b=2&utm_source=x&a=1#frag"]
+    assert r["norm_url"] == "http://www.example.com/Path?a=1&b=2"
+    assert r["host"] == "www.example.com"
+    assert r["registered_domain"] == "example.com"
+    assert r["n_params"] == 2
+    r = out["https://news.bbc.co.uk:443/story"]
+    assert r["norm_url"] == "https://news.bbc.co.uk/story"
+    assert r["registered_domain"] == "bbc.co.uk"
+    r = out["https://a.b.example.com.au:8443/x/"]
+    assert r["norm_url"] == "https://a.b.example.com.au:8443/x"
+    assert r["registered_domain"] == "example.com.au"
+    r = out["http://localhost/"]
+    assert r["norm_url"] == "http://localhost/"
+    assert r["registered_domain"] == "localhost"
+    assert r["n_params"] == 0
