@@ -173,6 +173,8 @@ HEADLINE_QUERIES = (
     "q15_top_supplier", "char_stats", "sketch_rollup",
     "q2_min_cost_supplier", "q11_important_stock", "pii_scrub",
     "unigram_logprob", "decontaminate_graded", "fuzzy_name_pairs",
+    "boilerplate_ngrams", "mixture_sample", "line_dedup",
+    "semantic_dedup", "nb_lang_classifier", "url_normalize",
 )
 
 

@@ -249,3 +249,60 @@ def test_fuzz_char_class_stats_matches_python(spark, texts):
                     ent -= p * math.log(p)
         assert abs(r["class_entropy"] - round(ent, 6)) <= 1e-6, (t, r)
         assert r["digit_ratio"] == round(di / n, 6) if n else r["digit_ratio"] == 0.0
+
+
+LINE_POOL = [
+    "",  # blank — must be dropped outright
+    "   ",  # whitespace-only — also blank
+    "Accept all cookies",
+    "accept ALL cookies  ",  # same normalized form as above
+    "home | about | contact",
+    "unique sentence",
+    "another line of prose",
+    "\tindented line",
+]
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(LINE_POOL), min_size=0, max_size=8),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_line_dedup_matches_python(spark, docs):
+    """line_dedup vs a straight-line Python sweep of the C4 recipe:
+    corpus scanned in (doc id, line position) order, each normalized
+    (lower+trim) non-blank line kept only at its first occurrence,
+    blanks dropped, survivors re-joined in original order.  The pool
+    forces heavy cross-document duplication (including two raw forms
+    with the SAME normalized key) so the min-(id,pos) aggregation and
+    the blank carry-through are both exercised."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from mimeograph_spark.functions.dedup import line_dedup
+
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i, lines in enumerate(docs):
+        # createDataFrame of "" splits identically: "".split("\n") == [""]
+        raw = "\n".join(lines).split("\n")
+        kept, n_lines = [], 0
+        for ln in raw:
+            norm = ln.strip().lower()
+            if not norm:
+                continue
+            n_lines += 1
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(ln)
+        r = got[i]
+        assert r["n_lines"] == n_lines, (i, lines, dict(r.asDict()))
+        assert r["n_kept"] == len(kept), (i, lines, dict(r.asDict()))
+        assert r["clean_text"] == "\n".join(kept), (i, lines, r["clean_text"])
