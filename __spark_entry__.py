@@ -968,18 +968,14 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb.unionByName(shifted), dim=64)
 
 
-def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + registered-domain extraction
-    (functions/urls.normalize_urls).  The testdata has no URL column,
-    so the fixture plants one per doc covering every normalization
-    rule — mixed-case scheme/host, default vs non-default ports,
-    two-level public suffixes (.co.uk/.com.au), trailing slashes,
-    tracking params (utm_*/fbclid), unsorted params, fragments — all
-    deterministic from doc_id; the oracle re-implements the
-    normalization independently over the identical planted URL
-    (RE2 side), making this a semantics check, not an echo."""
-    from mimeograph_spark.functions.urls import normalize_urls
-
+def _planted_url_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with one planted URL per document, deterministic
+    from doc_id, covering every normalization rule — mixed-case
+    scheme/host, default vs non-default ports, two-level public
+    suffixes, trailing slashes, tracking params, unsorted params,
+    fragments.  The URL repeats every lcm(3,5,4,3,7,2) = 420 doc ids,
+    so any corpus beyond that size contains genuine canonical-URL
+    collisions for the dedup fixtures."""
     did = F.col("doc_id")
 
     def pick(m, *opts):
@@ -988,7 +984,8 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (did % m + 1).cast("int"),
         )
 
-    planted = _read(spark, sf_dir, "documents").select(
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id",
         F.concat(
             pick(3, "http", "https", "HTTP"),
             F.lit("://WWW.Example"),
@@ -1002,9 +999,74 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("?b=2&a=1&fbclid=x")),
             F.lit("#sec"),
             (did % 3).cast("string"),
-        ).alias("url")
+        ).alias("url"),
     )
-    return normalize_urls(planted)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction
+    (functions/urls.normalize_urls).  The testdata has no URL column,
+    so the fixture plants one per doc covering every normalization
+    rule (see _planted_url_frame); the oracle re-implements the
+    normalization independently over the identical planted URL
+    (RE2 side), making this a semantics check, not an echo."""
+    from mimeograph_spark.functions.urls import normalize_urls
+
+    return normalize_urls(_planted_url_frame(spark, sf_dir))
+
+
+def q_url_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup keeping the best doc per URL
+    (functions/urls.url_dedup_best).  The planted URL repeats every
+    420 doc ids, so the sf0.01 corpus collapses ~500 docs onto 420
+    canonical URLs with real multi-doc groups; quality is an integer
+    md5-derived score so the arg-max (max over a (score, id) struct)
+    is value-exact on both engines."""
+    from mimeograph_spark.functions.urls import url_dedup_best
+
+    planted = _planted_url_frame(spark, sf_dir).select(
+        "doc_id",
+        "url",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).alias("quality"),
+    )
+    return url_dedup_best(planted)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k skew profiler (functions/profile.heavy_hitters)
+    over events.user_id: per-key count, corpus share, deterministic
+    rank, and the global max/mean skew factor — the diagnostic run
+    before deciding whether a join key needs salting.  Top-k is
+    TakeOrderedAndProject (no global sort); the summary scalars ride
+    a broadcast."""
+    from mimeograph_spark.functions.profile import heavy_hitters
+
+    return heavy_hitters(
+        _read(spark, sf_dir, "events").select("user_id"),
+        ["user_id"],
+        k=25,
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM score (textstats.bigram_logprob): mean
+    bigram log-prob per document under the corpus's own
+    Jelinek-Mercer bigram model — sharper than the unigram signal
+    (word-salad scores low even when each token is common).  One
+    corpus scan; unigram vocab broadcast, bigram table shuffled;
+    integer micro-nat arithmetic for cross-engine exactness."""
+    from mimeograph_spark.functions.textstats import bigram_logprob
+
+    return bigram_logprob(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round; the 50 freshly-green r4 entries rotate to the tail."""
     return {
         # --- new this round (r5) ---
+        "url_dedup_best": q_url_dedup_best,
+        "heavy_hitters": q_heavy_hitters,
+        "bigram_logprob": q_bigram_logprob,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q11_important_stock": relational.q11_important_stock,
         "pii_scrub": q_pii_scrub,
@@ -1298,6 +1363,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "nb_lang_classifier": sql_oracles.NB_LANG_CLASSIFIER_ORACLE,
         "url_normalize": sql_oracles.URL_NORMALIZE_ORACLE,
+        "url_dedup_best": sql_oracles.URL_DEDUP_BEST_ORACLE,
+        "heavy_hitters": sql_oracles.HEAVY_HITTERS_ORACLE,
+        "bigram_logprob": sql_oracles.BIGRAM_LOGPROB_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

@@ -175,6 +175,7 @@ HEADLINE_QUERIES = (
     "unigram_logprob", "decontaminate_graded", "fuzzy_name_pairs",
     "boilerplate_ngrams", "mixture_sample", "line_dedup",
     "semantic_dedup", "nb_lang_classifier", "url_normalize",
+    "url_dedup_best", "heavy_hitters", "bigram_logprob",
 )
 
 

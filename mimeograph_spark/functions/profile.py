@@ -61,3 +61,48 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .cast("long")
         .alias("top_count"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: Sequence[str], k: int = 20
+) -> DataFrame:
+    """Exact top-k heavy hitters over a grouping key — the skew
+    diagnostic run before any big join or aggregation at scale: if
+    the top key's share is large, the downstream shuffle needs
+    salting or AQE skew handling.  Output, k rows: the key columns
+    plus (cnt, share, rank, skew_factor) where share = cnt/total,
+    rank is dense 1..k by (cnt desc, key asc — deterministic ties),
+    and skew_factor = max_cnt / mean_cnt over ALL keys (>> 1 means a
+    skewed distribution; identical on every output row by design).
+
+    Scale shape: one scan with map-side partial aggregation into the
+    per-key counts; the global summary (total rows, key count, max
+    count) is a second aggregation over the KEY table (already
+    sublinear), broadcast-attached; top-k goes through
+    TakeOrderedAndProject — no global sort — and the rank window runs
+    over k rows only, after the limit."""
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = counts.agg(
+        F.sum("cnt").alias("_total"),
+        F.max("cnt").alias("_max"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    topk = (
+        counts.crossJoin(F.broadcast(summary))
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(),
+                       *[F.col(c).asc() for c in key_cols])
+    return topk.select(
+        *key_cols,
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.round(
+            F.col("_max") / (F.col("_total") / F.col("_nkeys")), 6
+        ).alias("skew_factor"),
+    )

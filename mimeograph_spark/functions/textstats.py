@@ -433,3 +433,127 @@ def unigram_logprob(
         )
     )
     return register_persisted(out, terms)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram-LM score: per-document mean log-prob of
+    each bigram under p(w2|w1) = lam * c(w1 w2)/c(w1) +
+    (1-lam) * c(w2)/T, the corpus's own Jelinek-Mercer-smoothed
+    bigram model — a sharper perplexity-style junk signal than
+    `unigram_logprob` (word-salad scores low even when every
+    individual token is common).  Output: (doc_id, n_bigrams,
+    sum_micro, mean_logprob).
+
+    Scale shape: ONE corpus scan — the doc-level token-array frame is
+    persisted and feeds both exploded streams (unigrams for the vocab
+    counts, bigram pairs for the bigram counts AND the score join).
+    The unigram vocab is Heaps-law sublinear and broadcast; the
+    bigram count table is NOT broadcast — distinct bigrams grow much
+    faster than the vocabulary, so the score join runs as a shuffled
+    equi-join on (w1, w2), which AQE sizes at runtime.  Cross-engine
+    exactness: per-bigram ln(p) is rounded to integer micro-nats and
+    summed as integers (FP sum order differs between engines;
+    integer sums don't).  explode_outer keeps docs with fewer than
+    two tokens — they surface with n_bigrams = 0 and score 0.
+    """
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(t, r"\s+"))
+        .alias("_tk"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    uni = (
+        base.select(F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    total = uni.agg(F.sum("_c1").alias("_tot"))
+
+    sz = F.size(F.col("_tk"))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(
+                sz >= 2,
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, sz - 1),
+                    F.slice(F.col("_tk"), 2, sz - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("_bg"),
+    ).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+    big = pairs.filter(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c12")
+    )
+    # score one row per DISTINCT bigram: lam*(c12/c1) + (1-lam)*(c2/T),
+    # identical operation order on both engines so the double rounds
+    # to the same micro-nat integer
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("term").alias("w1"),
+                                   F.col("_c1").alias("_cw1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w2"),
+                                   F.col("_c1").alias("_cw2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    F.lit(lam) * (F.col("_c12") / F.col("_cw1"))
+                    + F.lit(1.0 - lam) * (F.col("_cw2") / F.col("_tot"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("_lp_micro"),
+        )
+    )
+
+    out = (
+        pairs.join(scored, ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.coalesce(F.sum("_lp_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_micro",
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.col("sum_micro")
+                    / (F.col("n_bigrams") * F.lit(1000000.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return register_persisted(out, base)

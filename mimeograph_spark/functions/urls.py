@@ -33,11 +33,16 @@ TWO_LEVEL_SUFFIXES = (
 _TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
 
 
-def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """One output row per input row: (url, norm_url, host,
     registered_domain, n_params) — norm_url the canonical form, host
-    the lowercased port-less hostname."""
+    the lowercased port-less hostname.  `keep` names extra input
+    columns carried through verbatim (ids, quality scores) so
+    downstream per-URL aggregation needs no join back."""
     out = df.select(
+        *keep,
         F.col(url_col).alias("url"),
         F.lower(
             F.regexp_extract(F.col(url_col), "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
@@ -55,6 +60,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.regexp_extract(F.col(url_col), "\\?([^#]*)", 1).alias("_rawq"),
     )
     out = out.select(
+        *keep,
         "url",
         "_scheme",
         F.regexp_replace(F.col("_auth"), ":[0-9]+$", "").alias("_host"),
@@ -76,6 +82,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ).alias("_params"),
     )
     out = out.select(
+        *keep,
         "url",
         "_scheme",
         "_host",
@@ -104,6 +111,7 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         ".", F.slice(F.col("_labels"), F.greatest(n - 2, F.lit(1)), F.lit(3))
     )
     return out.select(
+        *keep,
         "url",
         F.concat(
             F.col("_scheme"),
@@ -121,4 +129,47 @@ def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .otherwise(F.col("_host"))
         .alias("registered_domain"),
         "n_params",
+    )
+
+
+def url_dedup_best(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-URL deduplication keeping the best document per URL
+    — the crawl-consolidation step: the same page fetched many times
+    (mirrors, tracking-param variants, trailing-slash variants)
+    collapses to one representative, chosen by highest quality score
+    with the LARGEST id as the deterministic tie-break (max over a
+    (score, id) struct).  Output, one row per canonical URL:
+    (norm_url, registered_domain, n_docs, best_doc_id, best_score).
+
+    Scale shape: normalization is pure codegen on the single scan
+    (`normalize_urls` with the id/score carried through — no join
+    back); the collapse is ONE hash aggregation on norm_url with
+    map-side partial combine, so a URL crawled a million times
+    arrives at the shuffle as one partial row per map task.  The
+    arg-max is max(struct(score, id)) — folded into the same
+    aggregation, no window, no second pass."""
+    n = normalize_urls(df, url_col, keep=(id_col, score_col))
+    return (
+        n.groupBy("norm_url")
+        .agg(
+            F.first("registered_domain").alias("registered_domain"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"), F.col(id_col).alias("i")
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "norm_url",
+            "registered_domain",
+            "n_docs",
+            F.col("_best.i").alias("best_doc_id"),
+            F.col("_best.s").alias("best_score"),
+        )
     )

@@ -2407,3 +2407,95 @@ SELECT url,
   n_params
 FROM built
 """
+
+# url_dedup_best reuses the full normalization oracle with doc_id
+# threaded through every stage (the planted CTE already carries it)
+_URL_NORM_WITH_ID = URL_NORMALIZE_ORACLE.replace(
+    "SELECT url,", "SELECT doc_id, url,"
+)
+
+URL_DEDUP_BEST_ORACLE = f"""
+WITH normed AS (
+{_URL_NORM_WITH_ID}
+), scoredq AS (
+  SELECT norm_url, registered_domain, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 1000
+           AS quality
+  FROM normed
+)
+SELECT norm_url,
+       min(registered_domain) AS registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       (max(struct_pack(s := quality, i := doc_id))).i AS best_doc_id,
+       (max(struct_pack(s := quality, i := doc_id))).s AS best_score
+FROM scoredq
+GROUP BY 1
+"""
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+), summary AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(max(cnt) AS BIGINT) AS mx,
+         CAST(count(*) AS BIGINT) AS nkeys
+  FROM counts
+), topk AS (
+  SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 25
+)
+SELECT user_id,
+       CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / total, 6) AS share,
+       CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+         AS "rank",
+       round(mx / (total * 1.0 / nkeys), 6) AS skew_factor
+FROM topk, summary
+"""
+
+
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+         END AS tk
+  FROM documents
+), terms AS (
+  SELECT doc_id, unnest(tk) AS term FROM base
+), uni AS (
+  SELECT term, count(*) AS c1 FROM terms GROUP BY 1
+), total AS (
+  SELECT sum(c1) AS tot FROM uni
+), pairs AS (
+  SELECT doc_id,
+         unnest(tk[1:len(tk)-1]) AS w1,
+         unnest(tk[2:len(tk)]) AS w2
+  FROM base WHERE len(tk) >= 2
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+), scored AS (
+  -- identical operation order to the Spark side: lam*(c12/c1) +
+  -- (1-lam)*(c2/T), ln, then round to integer micro-nats
+  SELECT b.w1, b.w2,
+         CAST(round(ln(0.75 * (b.c12 / u1.c1) + 0.25 * (u2.c1 / tot))
+                    * 1000000, 0) AS BIGINT) AS lp_micro
+  FROM big b
+  JOIN uni u1 ON b.w1 = u1.term
+  JOIN uni u2 ON b.w2 = u2.term, total
+), agg AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(s.lp_micro) AS BIGINT) AS sum_micro
+  FROM pairs p JOIN scored s ON p.w1 = s.w1 AND p.w2 = s.w2
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.sum_micro, 0) AS sum_micro,
+       round(CASE WHEN coalesce(a.n_bigrams, 0) > 0
+             THEN a.sum_micro / (a.n_bigrams * 1000000.0)
+             ELSE 0.0 END, 6) AS mean_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

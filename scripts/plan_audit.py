@@ -45,6 +45,8 @@ SCALAR_ATTACH_OK = {
     "mixture_sample",  # 1-row corpus count onto the per-group quotas
     "semantic_dedup",  # broadcast M-row centroid assignment crosses
     "nb_lang_classifier",  # 1-row totals + n_classes-row score spine
+    "heavy_hitters",  # 1-row global summary onto the key counts
+    "bigram_logprob",  # 1-row corpus token total onto the bigram table
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /

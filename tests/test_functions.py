@@ -1162,3 +1162,76 @@ def test_normalize_urls_rules(spark):
     assert r["norm_url"] == "http://localhost/"
     assert r["registered_domain"] == "localhost"
     assert r["n_params"] == 0
+
+
+def test_url_dedup_best_argmax_and_ties(spark):
+    """Same canonical URL from tracking-param/trailing-slash/case
+    variants collapses to one row; the winner is max quality with max
+    doc_id as the tie-break; distinct URLs never merge."""
+    from mimeograph_spark.functions.urls import url_dedup_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.com/x?utm_source=t", 5),
+            (2, "http://a.com:80/x/", 9),
+            (3, "HTTP://a.com/x", 9),   # quality tie with doc 2
+            (4, "http://a.com/y", 1),
+        ],
+        "doc_id long, url string, quality long",
+    )
+    rows = {r["norm_url"]: r for r in url_dedup_best(df).collect()}
+    assert set(rows) == {"http://a.com/x", "http://a.com/y"}
+    best = rows["http://a.com/x"]
+    assert best["n_docs"] == 3
+    assert best["best_score"] == 9
+    assert best["best_doc_id"] == 3  # tie on score -> larger id wins
+    assert rows["http://a.com/y"]["best_doc_id"] == 4
+
+
+def test_heavy_hitters_exact_counts_and_skew(spark):
+    """Constructed skew: key 7 appears 60x, keys 0..5 appear 4x each.
+    Top-k is exact, shares sum to the covered mass, rank is
+    deterministic, and skew_factor = max/mean over ALL keys."""
+    from mimeograph_spark.functions.profile import heavy_hitters
+
+    rows = [(7,)] * 60 + [(k,) for k in range(6) for _ in range(4)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = heavy_hitters(df, ["user_id"], k=3).collect()
+    assert [(r["user_id"], r["cnt"], r["rank"]) for r in out] == [
+        (7, 60, 1), (0, 4, 2), (1, 4, 3),
+    ]
+    total, nkeys, mx = 84, 7, 60
+    assert out[0]["share"] == round(60 / total, 6)
+    assert out[0]["skew_factor"] == round(mx / (total / nkeys), 6)
+    # every row carries the same global skew factor
+    assert len({r["skew_factor"] for r in out}) == 1
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Tiny corpus checked against hand arithmetic: doc 1 'a b a',
+    doc 2 'a b', doc 3 'x' (no bigrams), doc 4 '' (no tokens).
+    Unigrams: a=3, b=2, x=1, T=6.  Bigrams: (a,b)=2, (b,a)=1."""
+    import math
+
+    from mimeograph_spark.functions.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+
+    def micro(c12, c1, c2, tot=6):
+        return round(
+            math.log(0.75 * (c12 / c1) + 0.25 * (c2 / tot)) * 1_000_000
+        )
+
+    ab, ba = micro(2, 3, 2), micro(1, 2, 3)
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["sum_micro"] == ab + ba
+    assert got[1]["mean_logprob"] == round((ab + ba) / 2e6, 6)
+    assert got[2]["n_bigrams"] == 1 and got[2]["sum_micro"] == ab
+    for d in (3, 4):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["sum_micro"] == 0
+        assert got[d]["mean_logprob"] == 0.0
