@@ -1039,6 +1039,66 @@ def q_url_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_best(planted)
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation profile with blocklist
+    (functions/urls.domain_stats): doc/distinct-URL counts and
+    quality mean/min/max per domain, two domains dropped by the
+    blocklist — the FineWeb-style domain-level quality pass.  The
+    planted URL corpus yields 20 registered domains (5 hosts x 4
+    suffixes); quality is the same integer md5 score as
+    url_dedup_best."""
+    from mimeograph_spark.functions.urls import domain_stats
+
+    planted = _planted_url_frame(spark, sf_dir).select(
+        "url",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).alias("quality"),
+    )
+    return domain_stats(
+        planted, blocklist=("example0.com", "example1.co.uk")
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-windowed chunking (packing.chunk_documents, W=32 S=24):
+    every document cut into overlapping token chunks covering through
+    the last token; pure narrow codegen, zero shuffle."""
+    from mimeograph_spark.functions.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        window=32,
+        stride=24,
+    )
+
+
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectations
+    (functions/expectations.check_constraints) over orders: five
+    rules — not_null, unique, two range bounds, accepted values —
+    all computed in ONE scan/aggregation; the le-100 rule is planted
+    to FAIL so the violation counting itself is value-checked, not
+    just the all-green path."""
+    from mimeograph_spark.functions.expectations import check_constraints
+
+    return check_constraints(
+        _read(spark, sf_dir, "orders"),
+        [
+            ("not_null", "o_custkey", None),
+            ("unique", "o_orderkey", None),
+            ("ge", "o_totalprice", 0),
+            ("le", "o_totalprice", 100),
+            ("in", "o_orderstatus", ("O", "F", "P")),
+        ],
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k skew profiler (functions/profile.heavy_hitters)
     over events.user_id: per-key count, corpus share, deterministic
@@ -1174,6 +1234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (r5) ---
         "url_dedup_best": q_url_dedup_best,
+        "domain_stats": q_domain_stats,
+        "chunk_documents": q_chunk_documents,
+        "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
         "bigram_logprob": q_bigram_logprob,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
@@ -1364,6 +1427,9 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classifier": sql_oracles.NB_LANG_CLASSIFIER_ORACLE,
         "url_normalize": sql_oracles.URL_NORMALIZE_ORACLE,
         "url_dedup_best": sql_oracles.URL_DEDUP_BEST_ORACLE,
+        "domain_stats": sql_oracles.DOMAIN_STATS_ORACLE,
+        "chunk_documents": sql_oracles.CHUNK_DOCUMENTS_ORACLE,
+        "check_constraints": sql_oracles.CHECK_CONSTRAINTS_ORACLE,
         "heavy_hitters": sql_oracles.HEAVY_HITTERS_ORACLE,
         "bigram_logprob": sql_oracles.BIGRAM_LOGPROB_ORACLE,
     }

@@ -176,6 +176,7 @@ HEADLINE_QUERIES = (
     "boilerplate_ngrams", "mixture_sample", "line_dedup",
     "semantic_dedup", "nb_lang_classifier", "url_normalize",
     "url_dedup_best", "heavy_hitters", "bigram_logprob",
+    "domain_stats", "chunk_documents", "check_constraints",
 )
 
 

@@ -99,3 +99,65 @@ def sequence_manifest(packed: DataFrame, budget: int = 2048) -> DataFrame:
         )
         .withColumn("budget", F.lit(budget).cast("long"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Stride-windowed document chunking — the long-context prep
+    step: a document longer than the model's window is cut into
+    overlapping token chunks (window W, stride S < W gives W-S tokens
+    of overlap) so no span is ever seen only at a truncation
+    boundary.  Chunk k covers 1-based token positions
+    [1 + k*S, 1 + k*S + W); the start sequence runs while
+    start <= max(n - W, 0) + 1, so the final chunk always reaches the
+    last token and a doc with n <= W yields exactly one chunk.
+    The last start is 1 + ceil(max(n-W,0)/S)*S's predecessor on the
+    stride grid — i.e. strides continue until the tail is covered,
+    and the final chunk may be shorter than W (slice truncates at the
+    last token).  Empty/whitespace docs yield none.  Output, one row
+    per chunk: (doc_id, chunk_id, start_tok, n_tok, chunk_text).
+
+    Scale shape: pure narrow codegen — split, sequence/transform/
+    posexplode, slice — zero shuffle, zero Python, one scan; the
+    token array is staged once per doc so CollapseProject cannot
+    re-split per chunk."""
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    # NULL text must behave like empty: without the coalesce a NULL
+    # dodges the length==0 guard (NULL comparison) and emits a ghost
+    # chunk with a NULL token array
+    t = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(t, r"\s+"))
+        .alias("_tk"),
+    )
+    n = F.size(F.col("_tk"))
+    # last start = 1 + ceil(max(n-W,0)/S)*S, so strides continue
+    # until the final chunk reaches the last token
+    n_extra = F.greatest(n - window, F.lit(0))
+    stop = (
+        F.lit(1)
+        + F.floor((n_extra + F.lit(stride - 1)) / stride).cast("int")
+        * stride
+    )
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), stop, F.lit(stride)).cast("array<int>")
+    )
+    chunks = base.select(
+        id_col, "_tk", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    piece = F.slice(F.col("_tk"), F.col("start_tok"), window)
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_tok"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

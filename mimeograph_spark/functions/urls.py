@@ -173,3 +173,42 @@ def url_dedup_best(
             F.col("_best.s").alias("best_score"),
         )
     )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    score_col: str = "quality",
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-registered-domain curation profile — the domain-level
+    quality pass every web corpus runs before per-site quotas: a
+    domain whose pages are uniformly low-quality (content farms,
+    link spam) is dropped wholesale, which no per-document filter
+    can decide.  Output, one row per surviving domain:
+    (registered_domain, n_docs, n_urls, mean_quality, min_quality,
+    max_quality) with `n_urls` the distinct canonical-URL count
+    (n_docs >> n_urls flags a domain that is mostly refetches).
+
+    Scale shape: normalization rides the single scan; the blocklist
+    is a literal `isin` pushed into the scan-side filter (swap in a
+    broadcast anti-join for a real PSL-sized list); the distinct-URL
+    count is a two-level aggregation — (domain, norm_url) partial
+    first, then domain — so no count-distinct state explosion; every
+    aggregate is map-side combined."""
+    n = normalize_urls(df, url_col, keep=(score_col,))
+    if blocklist:
+        n = n.filter(~F.col("registered_domain").isin(*blocklist))
+    per_url = n.groupBy("registered_domain", "norm_url").agg(
+        F.count(F.lit(1)).alias("_docs"),
+        F.sum(score_col).alias("_qsum"),
+        F.min(score_col).alias("_qmin"),
+        F.max(score_col).alias("_qmax"),
+    )
+    return per_url.groupBy("registered_domain").agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.round(F.sum("_qsum") / F.sum("_docs"), 6).alias("mean_quality"),
+        F.min("_qmin").cast("long").alias("min_quality"),
+        F.max("_qmax").cast("long").alias("max_quality"),
+    )

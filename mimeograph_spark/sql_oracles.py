@@ -2499,3 +2499,78 @@ SELECT d.doc_id,
              ELSE 0.0 END, 6) AS mean_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+DOMAIN_STATS_ORACLE = f"""
+WITH normed AS (
+{_URL_NORM_WITH_ID}
+), q AS (
+  SELECT registered_domain, norm_url,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 1000
+           AS quality
+  FROM normed
+  WHERE registered_domain NOT IN ('example0.com', 'example1.co.uk')
+), per_url AS (
+  SELECT registered_domain, norm_url, count(*) AS docs,
+         sum(quality) AS qsum, min(quality) AS qmin, max(quality) AS qmax
+  FROM q GROUP BY 1, 2
+)
+SELECT registered_domain,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       round(sum(qsum) / sum(docs), 6) AS mean_quality,
+       CAST(min(qmin) AS BIGINT) AS min_quality,
+       CAST(max(qmax) AS BIGINT) AS max_quality
+FROM per_url GROUP BY 1
+"""
+
+
+CHUNK_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+         END AS tk
+  FROM documents
+), st AS (
+  SELECT doc_id, tk, len(tk) AS n FROM base WHERE len(tk) > 0
+), chunks AS (
+  -- starts 1, 1+S, ... through 1 + ceil(max(n-W,0)/S)*S (inclusive);
+  -- DuckDB range() is end-exclusive, hence the +2
+  SELECT doc_id, tk,
+         unnest(range(1, ((greatest(n - 32, 0) + 23) // 24) * 24 + 2, 24))
+           AS start_tok
+  FROM st
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // 24 AS INT) AS chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(tk[start_tok:start_tok + 31]) AS INT) AS n_tok,
+       array_to_string(tk[start_tok:start_tok + 31], ' ') AS chunk_text
+FROM chunks
+"""
+
+
+CHECK_CONSTRAINTS_ORACLE = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS r0,
+    CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS r2,
+    CAST(sum(CASE WHEN o_totalprice > 100 THEN 1 ELSE 0 END) AS BIGINT)
+      AS r3,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS BIGINT) AS r4
+  FROM orders
+)
+SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+       r0 AS n_violations, r0 = 0 AS passed FROM m
+UNION ALL SELECT 'unique', 'o_orderkey', r1, r1 = 0 FROM m
+UNION ALL SELECT 'ge', 'o_totalprice', r2, r2 = 0 FROM m
+UNION ALL SELECT 'le', 'o_totalprice', r3, r3 = 0 FROM m
+UNION ALL SELECT 'in', 'o_orderstatus', r4, r4 = 0 FROM m
+"""

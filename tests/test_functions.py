@@ -1235,3 +1235,97 @@ def test_bigram_logprob_hand_computed(spark):
         assert got[d]["n_bigrams"] == 0
         assert got[d]["sum_micro"] == 0
         assert got[d]["mean_logprob"] == 0.0
+
+
+def test_chunk_documents_tail_coverage(spark):
+    """Every token position must fall in some chunk; chunk starts sit
+    on the stride grid; the final chunk truncates at the last token.
+    n=10, W=4, S=3 -> starts 1,4,7 (last chunk 7..10 reaches the
+    final token); n=9 exercises the non-multiple ceil (n-W=5 ->
+    same grid, shorter tail chunk)."""
+    from mimeograph_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            (2, "a b c d e f g h i"),
+            (3, "short"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    starts1 = sorted((r["start_tok"], r["n_tok"]) for r in by_doc[1])
+    assert starts1 == [(1, 4), (4, 4), (7, 4)]
+    assert [r["chunk_text"] for r in sorted(by_doc[1],
+            key=lambda r: r["chunk_id"])][-1] == "t7 t8 t9 t10"
+    starts2 = sorted((r["start_tok"], r["n_tok"]) for r in by_doc[2])
+    assert starts2 == [(1, 4), (4, 4), (7, 3)]
+    assert [(r["start_tok"], r["n_tok"], r["chunk_text"])
+            for r in by_doc[3]] == [(1, 1, "short")]
+    assert 4 not in by_doc and 5 not in by_doc
+    # coverage: union of [start, start+n_tok) spans 1..n for doc 1
+    covered = set()
+    for r in by_doc[1]:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(1, 11))
+
+
+def test_check_constraints_counts_violations(spark):
+    """Planted violations: one NULL key, one duplicate id, one
+    negative value, two values over the cap, one alien status."""
+    from mimeograph_spark.functions.expectations import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0),
+            (1, 20, "F", 50.0),   # duplicate id=1
+            (2, None, "P", -1.0),  # null key, negative
+            (3, 40, "X", 200.0),   # alien status, over cap
+            (4, 50, "O", 150.0),   # over cap
+        ],
+        "id long, key long, status string, val double",
+    )
+    rules = [
+        ("not_null", "key", None),
+        ("unique", "id", None),
+        ("ge", "val", 0),
+        ("le", "val", 100),
+        ("in", "status", ("O", "F", "P")),
+    ]
+    got = {(r["rule"], r["col_name"]): (r["n_violations"], r["passed"])
+           for r in check_constraints(df, rules).collect()}
+    assert got == {
+        ("not_null", "key"): (1, False),
+        ("unique", "id"): (1, False),
+        ("ge", "val"): (1, False),
+        ("le", "val"): (2, False),
+        ("in", "status"): (1, False),
+    }
+
+
+def test_domain_stats_blocklist_and_url_counts(spark):
+    """Three docs on one domain across two canonical URLs, one
+    blocked domain dropped entirely; quality aggregates are exact."""
+    from mimeograph_spark.functions.urls import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.example.com/x", 10),
+            ("http://a.example.com/x?utm_source=t", 30),
+            ("http://b.example.com/y", 20),
+            ("http://spam.junk.net/z", 99),
+        ],
+        "url string, quality long",
+    )
+    out = {r["registered_domain"]: r
+           for r in domain_stats(df, blocklist=("junk.net",)).collect()}
+    assert set(out) == {"example.com"}
+    r = out["example.com"]
+    assert (r["n_docs"], r["n_urls"]) == (3, 2)
+    assert (r["min_quality"], r["max_quality"]) == (10, 30)
+    assert r["mean_quality"] == 20.0
