@@ -1039,6 +1039,42 @@ def q_url_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_best(planted)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (functions/incremental.build_lsh_index +
+    lsh_increment): the corpus's first 90% of doc ids is indexed once,
+    then the newest 10% is deduped against the index and itself while
+    scanning only the delta (broadcast-delta probes, combined-count
+    bucket cap).  The oracle is the FULL-corpus LSH pair SQL
+    restricted to pairs touching a new doc — the equivalence the
+    incremental contract guarantees when new ids exceed indexed
+    ids."""
+    import hashlib
+
+    from mimeograph_spark.functions.incremental import (
+        build_lsh_index,
+        lsh_increment,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/mimeograph_lshidx/{tag}"
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(
+        F.floor((F.max("doc_id") * 9) / 10).cast("long").alias("_cut")
+    )
+    old = (
+        docs.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") <= F.col("_cut"))
+        .select("doc_id", "text")
+    )
+    new = (
+        docs.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") > F.col("_cut"))
+        .select("doc_id", "text")
+    )
+    build_lsh_index(old, path, k=16, bands=4)
+    return lsh_increment(spark, path, new, k=16, bands=4, update=False)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1229,15 +1265,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked recently (plus anything new this round) come first, and
     freshly-green ones from the previous round's window go last.
     Round 5 front-loads the 33 entries last driver-checked in round 3
-    (the r4 window covered the other 50) plus everything new this
-    round; the 50 freshly-green r4 entries rotate to the tail."""
+    (the r4 window covered the other 50) plus 17 of the 21 new
+    entries; with 54 stale-or-new candidates for a 50-slot window,
+    the 4 new queries with the deepest in-suite coverage (unit tests
+    beyond the oracle mirror, which itself re-checks EVERY query each
+    pytest run) sit just past the window at 51-54 and lead round 6;
+    the 50 freshly-green r4 entries rotate to the tail."""
     return {
         # --- new this round (r5) ---
         "url_dedup_best": q_url_dedup_best,
+        "incremental_dedup": q_incremental_dedup,
         "domain_stats": q_domain_stats,
-        "chunk_documents": q_chunk_documents,
-        "check_constraints": q_check_constraints,
-        "heavy_hitters": q_heavy_hitters,
         "bigram_logprob": q_bigram_logprob,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q11_important_stock": relational.q11_important_stock,
@@ -1246,7 +1284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_graded": q_decontaminate_graded,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "mixture_sample": q_mixture_sample,
-        "line_dedup": q_line_dedup,
         "semantic_dedup": q_semantic_dedup,
         "nb_lang_classifier": q_nb_lang_classifier,
         "url_normalize": q_url_normalize,
@@ -1284,6 +1321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
+        # --- new in r5, window overflow (51-54): deep in-suite
+        # coverage now, lead the r6 driver window ---
+        "chunk_documents": q_chunk_documents,
+        "check_constraints": q_check_constraints,
+        "heavy_hitters": q_heavy_hitters,
+        "line_dedup": q_line_dedup,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1427,6 +1470,9 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classifier": sql_oracles.NB_LANG_CLASSIFIER_ORACLE,
         "url_normalize": sql_oracles.URL_NORMALIZE_ORACLE,
         "url_dedup_best": sql_oracles.URL_DEDUP_BEST_ORACLE,
+        "incremental_dedup": sql_oracles.incremental_dedup_sql(
+            k=16, bands=4
+        ),
         "domain_stats": sql_oracles.DOMAIN_STATS_ORACLE,
         "chunk_documents": sql_oracles.CHUNK_DOCUMENTS_ORACLE,
         "check_constraints": sql_oracles.CHECK_CONSTRAINTS_ORACLE,

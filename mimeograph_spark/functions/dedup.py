@@ -151,6 +151,28 @@ def with_shingle_hashes(
     )
 
 
+def band_hash_array(sig: Column, k: int = 16, bands: int = 4) -> Column:
+    """The LSH banding primitive shared by the batch pipeline and the
+    incremental index: split a k-value MinHash signature into `bands`
+    contiguous rows-per-band slices and hash each slice to one
+    bucket string.  Band b of an identical slice always lands in the
+    same bucket on every engine (md5 over the comma-joined decimal
+    values)."""
+    rows = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * rows + 1, rows),
+                    lambda v: v.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+
+
 def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16,
                  n: int = 3) -> DataFrame:
     staged = with_shingle_hashes(df, text_col, n)
@@ -193,7 +215,6 @@ def lsh_candidate_pairs(
     (MEMORY_AND_DISK) — the signature-table materialization every
     production LSH pipeline does — instead of recomputing shingle md5
     per consumer."""
-    rows = k // bands
     fp = df.select(
         F.col(id_col).alias("_id"),
         fingerprint(F.col(text_col)).alias("_fp"),
@@ -231,18 +252,7 @@ def lsh_candidate_pairs(
     banded = reps.select(
         "_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("_sig"), b * rows + 1, rows),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
+            band_hash_array(F.col("_sig"), k, bands)
         ).alias("band", "band_hash"),
     )
     from pyspark.sql import Window

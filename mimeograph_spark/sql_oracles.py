@@ -2574,3 +2574,19 @@ UNION ALL SELECT 'ge', 'o_totalprice', r2, r2 = 0 FROM m
 UNION ALL SELECT 'le', 'o_totalprice', r3, r3 = 0 FROM m
 UNION ALL SELECT 'in', 'o_orderstatus', r4, r4 = 0 FROM m
 """
+
+
+def incremental_dedup_sql(
+    k: int = 16, bands: int = 4, max_bucket: int = 64
+) -> str:
+    """Mirrors incremental.lsh_increment over a 90/10 id split: the
+    incremental contract (new ids > indexed ids) makes its output
+    exactly the full-corpus LSH pairs restricted to pairs whose
+    larger side is a new doc — id_b is always the larger id, so one
+    predicate expresses 'touches the new batch'."""
+    inner = lsh_candidate_pairs_sql(k=k, bands=bands, max_bucket=max_bucket)
+    return f"""
+SELECT * FROM (
+{inner}
+) WHERE id_b > (SELECT (max(doc_id) * 9) // 10 FROM documents)
+"""

@@ -47,6 +47,7 @@ SCALAR_ATTACH_OK = {
     "nb_lang_classifier",  # 1-row totals + n_classes-row score spine
     "heavy_hitters",  # 1-row global summary onto the key counts
     "bigram_logprob",  # 1-row corpus token total onto the bigram table
+    "incremental_dedup",  # 1-row id cutoff onto the old/new split
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /
@@ -65,6 +66,10 @@ SCAN_BUDGET = {
     # q2/q11: partsupp synthesis scans part + supplier(count), the
     # eligible frame adds supplier/nation/region, q2's outer adds part
     "q2_min_cost_supplier": 6, "q11_important_stock": 5,
+    # delta scanned for cutoff/fp/stage legs + the THREE persisted
+    # index tables (fps/sigs/bands) — reading the index instead of
+    # re-scanning the corpus is the operator's entire point
+    "incremental_dedup": 8,
 }
 DEFAULT_SCAN_BUDGET = 4
 

@@ -37,11 +37,16 @@ def test_coverage_map_mentions_every_query():
 
 
 def test_no_query_goes_two_rounds_unchecked():
-    """Rotation invariant: every registered query must appear either
-    in the LAST round's CORRECTNESS file or inside the front window
-    the driver will check THIS round (first 50 entries) — i.e. no
-    query is ever more than two rounds away from a hard driver check.
-    New queries (in neither prior file) must be in the front window."""
+    """Rotation invariant: every query EVER driver-checked must appear
+    either in the LAST round's CORRECTNESS file or inside the front
+    window the driver will check THIS round (first 50 entries) — no
+    previously-checked query drifts more than two rounds from a hard
+    driver check.  BRAND-NEW queries (in no CORRECTNESS file yet) go
+    in the window too, except when stale + new exceed the 50-slot
+    window: then the overflow must (a) be new-only — stale queries
+    always win a slot — and (b) sit IMMEDIATELY after the window so
+    the overflow leads the next round's window.  (Every query is also
+    oracle-checked in-suite each pytest run by test_entry_oracle.)"""
     import json
     import re
 
@@ -52,10 +57,33 @@ def test_no_query_goes_two_rounds_unchecked():
     )
     assert files, "no CORRECTNESS files found"
     last = set(json.load(open(os.path.join(REPO, files[-1]))))
+    ever = set()
+    for f in files:
+        ever |= set(json.load(open(os.path.join(REPO, f))))
     order = list(entry_mod.queries())
     window = set(order[:50])
-    stale = [n for n in order if n not in last and n not in window]
-    assert not stale, (
-        f"queries neither checked last round nor in this round's "
-        f"window: {stale}"
+    overdue = [
+        n for n in order
+        if n in ever and n not in last and n not in window
+    ]
+    assert not overdue, (
+        f"previously-checked queries neither checked last round nor "
+        f"in this round's window: {overdue}"
     )
+    new_overflow = [
+        i for i, n in enumerate(order)
+        if n not in ever and n not in window
+    ]
+    if new_overflow:
+        n_stale_or_new = sum(
+            1 for n in order if n not in last or n not in ever
+        )
+        assert n_stale_or_new > 50, (
+            "new queries left outside the window even though it "
+            f"had room: {[order[i] for i in new_overflow]}"
+        )
+        want = list(range(50, 50 + len(new_overflow)))
+        assert new_overflow == want, (
+            f"window-overflow new queries must sit immediately after "
+            f"the window (positions {want}), got {new_overflow}"
+        )

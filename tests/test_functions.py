@@ -1329,3 +1329,97 @@ def test_domain_stats_blocklist_and_url_counts(spark):
     assert (r["n_docs"], r["n_urls"]) == (3, 2)
     assert (r["min_quality"], r["max_quality"]) == (10, 30)
     assert r["mean_quality"] == 20.0
+
+
+def _dup_corpus(spark):
+    """30 docs with planted exact and near dups straddling the 20/25
+    batch boundaries: 1==7==23 (exact), 21==22 (exact, both new),
+    2==8==24 (exact after the same one-word change), 25~26 (banded
+    near pair, straddling the second chain boundary), plus unique
+    filler."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(1, 31):
+        if i in (1, 7, 23):
+            t = base
+        elif i in (21, 22, 27):
+            t = base + " twice"
+        elif i in (2, 8, 24):
+            t = base.replace("river", "creek0")
+        elif i == 25:
+            t = base.replace("lazy", "sleepy")
+        elif i == 26:
+            t = base.replace("lazy", "sleepy").replace("bank", "shore")
+        else:
+            t = f"unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(12)
+            )
+        rows.append((i, t))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_increment_equals_full_recompute(spark, tmp_path):
+    """build(old) + increment(new) must emit exactly the full-corpus
+    LSH pairs that touch a new doc — same ids, same jaccard."""
+    from mimeograph_spark.functions.dedup import lsh_candidate_pairs
+    from mimeograph_spark.functions.incremental import (
+        build_lsh_index,
+        lsh_increment,
+    )
+
+    docs = _dup_corpus(spark)
+    old = docs.filter("doc_id <= 20")
+    new = docs.filter("doc_id > 20")
+    path = str(tmp_path / "idx")
+    build_lsh_index(old, path, k=16, bands=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_increment(
+            spark, path, new, k=16, bands=4, update=False
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(docs, k=16, bands=4).collect()
+        if r["id_b"] > 20
+    }
+    assert got == want
+    # the planted cross-batch links actually surfaced
+    assert got[(1, 23)] == 1.0
+    assert got[(21, 22)] == 1.0
+    assert (25, 26) in got and got[(25, 26)] < 1.0
+
+
+def test_lsh_increment_chain_updates_index(spark, tmp_path):
+    """Two successive increments with update=True: the second batch
+    must see the first batch's docs through the index, and the union
+    over the chain must equal the full recompute restricted to
+    ids past the first cutoff."""
+    from mimeograph_spark.functions.dedup import lsh_candidate_pairs
+    from mimeograph_spark.functions.incremental import (
+        build_lsh_index,
+        lsh_increment,
+    )
+
+    docs = _dup_corpus(spark)
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs.filter("doc_id <= 20"), path, k=16, bands=4)
+    p1 = lsh_increment(
+        spark, path, docs.filter("doc_id > 20 AND doc_id <= 25"),
+        k=16, bands=4, update=True,
+    ).collect()
+    p2 = lsh_increment(
+        spark, path, docs.filter("doc_id > 25"),
+        k=16, bands=4, update=True,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in p1 + p2}
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(docs, k=16, bands=4).collect()
+        if r["id_b"] > 20
+    }
+    assert got == want
+    # 25~26 (banded) and 21==27 (exact fp) straddle the two
+    # increments: only the appended index can link them
+    assert (25, 26) in got and got[(25, 26)] < 1.0
+    assert got[(21, 27)] == 1.0
