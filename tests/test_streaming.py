@@ -482,3 +482,84 @@ def test_streaming_sketch_rollup_matches_batch_and_absorbs_replay(
         for r in sketch_estimates(spark, ckpt).collect()
     }
     assert replayed == streamed
+
+
+def test_streaming_incremental_dedup_matches_batch_and_skips_replay(
+    spark, tmp_path
+):
+    """New docs streamed through the persisted LSH index must emit,
+    cumulatively, exactly the batch pipeline's pairs restricted to
+    streamed ids (file-per-trigger, so cross-trigger links only exist
+    via the index appends); a direct replay of an already-committed
+    batch id must be a no-op (marker short-circuit)."""
+    from mimeograph_spark.functions.dedup import lsh_candidate_pairs
+    from mimeograph_spark.functions.incremental import build_lsh_index
+    from mimeograph_spark.streaming.incremental_dedup import (
+        dedup_batch,
+        run_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    rows = []
+    for i in range(1, 31):
+        if i in (1, 7, 23):
+            t = base
+        elif i in (21, 22, 27):
+            t = base + " twice"
+        elif i == 25:
+            t = base.replace("lazy", "sleepy")
+        elif i == 26:
+            t = base.replace("lazy", "sleepy").replace("bank", "shore")
+        else:
+            t = f"unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(12)
+            )
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    index_path = str(tmp_path / "idx")
+    build_lsh_index(docs.filter("doc_id <= 20"), index_path, k=16, bands=4)
+
+    # two arrival files, id-monotone: 21-25 then 26-30
+    input_dir = str(tmp_path / "incoming")
+    docs.filter("doc_id > 20 AND doc_id <= 25").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    docs.filter("doc_id > 25").coalesce(1).write.mode("append").parquet(
+        input_dir
+    )
+
+    pairs_out = str(tmp_path / "pairs")
+    marker_dir = str(tmp_path / "markers")
+    q = run_dedup_stream(
+        spark, input_dir, index_path, pairs_out,
+        str(tmp_path / "stream_ckpt"), marker_dir,
+        k=16, bands=4, max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(docs, k=16, bands=4).collect()
+        if r["id_b"] > 20
+    }
+    assert got == want
+    # the cross-trigger links require the index appends: 21==27 via
+    # fps, 25~26 via bands
+    assert got[(21, 27)] == 1.0
+    assert (25, 26) in got and got[(25, 26)] < 1.0
+
+    # replaying a committed batch id is a no-op
+    n_pairs = spark.read.parquet(pairs_out).count()
+    replay = docs.filter("doc_id > 20 AND doc_id <= 25")
+    assert dedup_batch(
+        spark, index_path, replay, 0, pairs_out, marker_dir,
+        k=16, bands=4,
+    ) is False
+    assert spark.read.parquet(pairs_out).count() == n_pairs
