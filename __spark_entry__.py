@@ -1075,6 +1075,69 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_increment(spark, path, new, k=16, bands=4, update=False)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (functions/linkgraph.pagerank), 5 rounds,
+    damping 0.85, over a planted edge list: each doc links to 3
+    md5-derived targets mod 520, so ids past the corpus range appear
+    only as destinations and exercise the dangling-mass path.  The
+    oracle unrolls the identical iteration as chained DuckDB CTEs
+    with the same per-round rounding (the determinism barrier both
+    engines share)."""
+    from mimeograph_spark.functions.linkgraph import pagerank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 520
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iterations=5, damping=0.85)
+
+
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (functions/search.inverted_postings):
+    term -> (df, ascending doc-id posting list), hapaxes dropped.
+    One tokenize scan + one groupBy(term); the posting arrays are the
+    value-hashed payload, so ordering inside them is part of the
+    check."""
+    from mimeograph_spark.functions.search import inverted_postings
+
+    return inverted_postings(
+        _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+BM25_TERMS = ("spark", "window", "vector")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 (functions/search.bm25_topk) for a fixed
+    3-term query over the documents table: query-term filter before
+    the aggregation, corpus stats as one broadcast scalar row, top-k
+    via TakeOrderedAndProject.  Scores rounded to 6 decimals on both
+    engines (libm ulp absorption)."""
+    from mimeograph_spark.functions.search import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        list(BM25_TERMS),
+        k=10,
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1287,6 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "nb_lang_classifier": q_nb_lang_classifier,
         "url_normalize": q_url_normalize,
+        "pagerank": q_pagerank,
+        "inverted_postings": q_inverted_postings,
+        "bm25_topk": q_bm25_topk,
         # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
@@ -1478,6 +1544,9 @@ def oracle_sql() -> dict[str, str]:
         "check_constraints": sql_oracles.CHECK_CONSTRAINTS_ORACLE,
         "heavy_hitters": sql_oracles.HEAVY_HITTERS_ORACLE,
         "bigram_logprob": sql_oracles.BIGRAM_LOGPROB_ORACLE,
+        "pagerank": sql_oracles.pagerank_sql(iterations=5, damping=0.85),
+        "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
+        "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

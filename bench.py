@@ -177,7 +177,7 @@ HEADLINE_QUERIES = (
     "semantic_dedup", "nb_lang_classifier", "url_normalize",
     "url_dedup_best", "heavy_hitters", "bigram_logprob",
     "domain_stats", "chunk_documents", "check_constraints",
-    "incremental_dedup",
+    "incremental_dedup", "pagerank", "inverted_postings", "bm25_topk",
 )
 
 

@@ -1,0 +1,133 @@
+"""Link-graph analytics: PageRank for domain/page authority.
+
+Web-corpus curation weights documents by the link authority of their
+host (Common Crawl releases domain-level ranks for exactly this use);
+the reference pipeline has no graph stage, so this is the
+training-data extension of the corpus model: an edge list
+(src, dst) -> a stationary-distribution score per node.
+
+Execution shape (the part that matters at 10^9 nodes / 10^11 edges):
+
+- the edge list is deduped once, then persisted via localCheckpoint —
+  every iteration re-reads it, and without the checkpoint each round
+  re-optimizes and re-scans the whole upstream lineage;
+- one iteration = one join of ranks onto edges (keyed by src, the
+  natural pre-partitioning: both sides can be bucketed by node id on
+  a real cluster so the join is shuffle-free after round one) and one
+  groupBy dst (map-side partial sums collapse a hub's in-links per
+  partition before the shuffle, so a 10^7-in-degree node moves
+  O(partitions) rows, not O(in-degree));
+- dangling mass (nodes with no out-links) is folded in as a broadcast
+  scalar — a crossJoin of a 1-row aggregate, never a driver-side
+  collect;
+- ranks are rounded per iteration: the rounding is the cross-engine
+  (and cross-run) determinism barrier — FP addition order inside a
+  shuffle differs between runs, and without the per-round round()
+  those last-ulp differences compound across iterations (same
+  convention as the k-means centroids in similarity.py).
+
+Fixed iteration count, no convergence action: PageRank converges
+geometrically at rate `damping`, so callers pick iterations from the
+precision they need (10 rounds ~ 0.85^10 ~ 0.2% residual); an
+optional L1-delta action would add a per-round job for no planning
+benefit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-iteration rounding: coarse enough that cross-engine FP
+# addition-order noise (~1e-16 relative) cannot straddle a boundary
+# in practice, fine enough that 5-15 iterations lose no signal
+ITER_ROUND = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    out_round: int = 6,
+) -> DataFrame:
+    """PageRank over a directed edge list.  Returns (node, rank)
+    for every node appearing as a source OR destination; ranks sum
+    to ~1 (exact up to rounding).
+
+    Semantics (the standard random-surfer model):
+      rank_0        = 1/N
+      rank_{i+1}(v) = (1-d)/N + d * (sum_{u->v} rank_i(u)/outdeg(u)
+                                     + dangling_mass_i / N)
+    where dangling nodes (no out-links) spread their mass uniformly —
+    dropping it (the naive formulation) leaks probability every round
+    and under-ranks everything in graphs with sinks.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    # (node, od|NULL) — NULL od marks a dangling node; carried on the
+    # rank frame so the per-round dangling aggregate needs no join
+    base = nodes.join(outdeg, "node", "left").localCheckpoint()
+    n_total = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
+    ranks = base.crossJoin(n_total).select(
+        "node",
+        "od",
+        F.round(F.lit(1.0) / F.col("_n"), ITER_ROUND).alias("rank"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("od")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = F.broadcast(
+            ranks.filter(F.col("od").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .crossJoin(n_total)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "od",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    ),
+                    ITER_ROUND,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", out_round).alias("rank")
+    )

@@ -2590,3 +2590,123 @@ SELECT * FROM (
 {inner}
 ) WHERE id_b > (SELECT (max(doc_id) * 9) // 10 FROM documents)
 """
+
+
+def pagerank_sql(
+    iterations: int = 5,
+    damping: float = 0.85,
+    n_mod: int = 520,
+    fanout: int = 3,
+) -> str:
+    """Mirrors linkgraph.pagerank over the planted md5 edge list
+    (each doc_id links to `fanout` md5-derived targets mod `n_mod`;
+    targets >= the doc-id range are dst-only, i.e. dangling).  Fixed
+    iterations unrolled as chained CTEs — one (contrib join + group)
+    plus one dangling-mass scalar per round, identical arithmetic and
+    per-round round()ing to the Spark side."""
+    d = repr(float(damping))
+    omd = repr(1.0 - damping)
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           ('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT
+             % {n_mod} AS dst
+    FROM documents, (SELECT unnest(range({fanout})) AS j)
+  ) WHERE src <> dst
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), meta AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outdeg AS (
+  SELECT src AS node, count(*) AS od FROM edges GROUP BY src
+), base AS (
+  SELECT n.node, o.od FROM nodes n LEFT JOIN outdeg o ON n.node = o.node
+), r0 AS (
+  SELECT node, od, round(1e0 / (SELECT n FROM meta), 10) AS rank
+  FROM base
+)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(rank), 0e0) AS dang FROM r{i} WHERE od IS NULL
+), r{i + 1} AS (
+  SELECT b.node, b.od,
+         round({omd} / (SELECT n FROM meta)
+               + {d} * (coalesce(c.contrib, 0e0)
+                        + (SELECT dang FROM dang{i})
+                          / (SELECT n FROM meta)),
+               10) AS rank
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.od) AS contrib
+    FROM edges e JOIN r{i} r ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON b.node = c.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+INVERTED_POSTINGS_ORACLE = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  )
+)
+SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term HAVING count(*) >= 2
+"""
+
+
+def bm25_topk_sql(
+    terms: tuple[str, ...], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Mirrors search.bm25_topk: identical tokenize, query-term
+    filter before the (doc, term) aggregation, the same left-to-right
+    double arithmetic (all constants written as e-notation DOUBLE
+    literals — plain decimals are DECIMAL in DuckDB and change the
+    math), round(score, 6) absorbing libm ulp differences."""
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    one_minus_b = repr(1.0 - b)
+    k1_plus_1 = repr(k1 + 1.0)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dl, tk FROM toks
+), meta AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT t.doc_id, count(*) AS n_hits,
+       round(sum(
+         ln(1e0 + (m.n - f.df + 0.5e0) / (f.df + 0.5e0))
+         * t.tf * {k1_plus_1}
+         / (t.tf + {repr(float(k1))}
+            * ({one_minus_b} + ({repr(float(b))} * t.dl) / m.avgdl))
+       ), 6) AS score
+FROM tf t JOIN dfreq f USING (term) CROSS JOIN meta m
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id
+LIMIT {k}
+"""

@@ -1423,3 +1423,140 @@ def test_lsh_increment_chain_updates_index(spark, tmp_path):
     # increments: only the appended index can link them
     assert (25, 26) in got and got[(25, 26)] < 1.0
     assert got[(21, 27)] == 1.0
+
+
+# ---------------------------------------------------------------- linkgraph
+
+
+def _py_pagerank(edges, iterations=5, d=0.85):
+    """Straight-line mirror of linkgraph.pagerank (incl. per-round
+    rounding and dangling redistribution)."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: round(1.0 / n, 10) for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {
+            v: round(
+                (1.0 - d) / n + d * (contrib[v] + dang / n), 10
+            )
+            for v in nodes
+        }
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def test_pagerank_matches_python_mirror(spark):
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1),
+        (6, 7),  # 7 is dangling
+    ]
+    from mimeograph_spark.functions.linkgraph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == _py_pagerank(edges)
+
+
+def test_pagerank_mass_conserved_and_dedup(spark):
+    # duplicate edges collapse; total mass stays ~1 despite dangling
+    from mimeograph_spark.functions.linkgraph import pagerank
+
+    edges = [(1, 2), (1, 2), (2, 3), (3, 4)]  # 4 dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, iterations=8).collect()
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4
+    exp = _py_pagerank(list(dict.fromkeys(edges)), iterations=8)
+    got = {r["node"]: r["rank"] for r in rows}
+    assert got == exp
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    from mimeograph_spark.functions.linkgraph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+
+
+# ------------------------------------------------------------------ search
+
+
+def test_inverted_postings_sorted_and_min_df(spark):
+    from mimeograph_spark.functions.search import inverted_postings
+
+    df = spark.createDataFrame(
+        [
+            (3, "alpha beta"),
+            (1, "beta  gamma beta"),  # dup token counts once per doc
+            (2, "beta"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_postings(df, min_df=2).collect()
+    }
+    # alpha/gamma are hapaxes -> dropped; beta in docs 1,2,3 sorted
+    assert rows == {"beta": (3, [1, 2, 3])}
+
+
+def test_bm25_matches_python_mirror(spark):
+    import math
+
+    from mimeograph_spark.functions.search import bm25_topk
+
+    corpus = {
+        1: "spark shuffle spark join",
+        2: "spark",
+        3: "window join window window",
+        4: "noise words only here",
+    }
+    terms, k1, b = ["spark", "window"], 1.2, 0.75
+    dl = {d: len(t.split()) for d, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    tf = {
+        (d, w): corpus[d].split().count(w)
+        for d in corpus
+        for w in terms
+        if w in corpus[d].split()
+    }
+    dfreq = {w: sum(1 for (d, w2) in tf if w2 == w) for w in terms}
+    exp = {}
+    for d in corpus:
+        parts = [
+            math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            * tf[(d, w)]
+            * (k1 + 1.0)
+            / (tf[(d, w)] + k1 * (1.0 - b + b * dl[d] / avgdl))
+            for w in terms
+            if (d, w) in tf
+        ]
+        if parts:
+            exp[d] = round(sum(parts), 6)
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    rows = bm25_topk(df, terms, k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got == exp
+    # determinism of ordering: score desc then doc_id asc
+    order = [r["doc_id"] for r in rows]
+    assert order == sorted(
+        exp, key=lambda d: (-exp[d], d)
+    )
+
+
+def test_bm25_rejects_empty_terms(spark):
+    from mimeograph_spark.functions.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
