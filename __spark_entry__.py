@@ -1138,6 +1138,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 16
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (functions/sketches):
+    build a depth x width counter table over the whitespace token
+    stream, estimate every distinct term, and report estimate vs
+    exact count with the overcount delta.  Unlike the HLL rollup
+    (rows-only), the md5 bucket family is bit-identical in DuckDB so
+    the full value-hash oracle applies — including the one-sided
+    error guarantee (overcount >= 0 for every term).  width=16 is
+    deliberately narrow for the tiny test vocabulary so collisions
+    (and nonzero overcounts) actually occur."""
+    from mimeograph_spark.functions.sketches import cms_build, cms_estimate
+    from mimeograph_spark.functions.textstats import tokens
+
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(tokens(F.col("text")), lambda t: t != "")
+            ).alias("term")
+        )
+        .persist()
+    )
+    counters = cms_build(toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = cms_estimate(
+        counters, toks, "term", depth=CMS_DEPTH, width=CMS_WIDTH
+    ).withColumnRenamed("key", "term")
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return exact.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1330,9 +1370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5 front-loads the 33 entries last driver-checked in round 3
     (the r4 window covered the other 50) plus 17 of the 21 new
     entries; with 54 stale-or-new candidates for a 50-slot window,
-    the 4 new queries with the deepest in-suite coverage (unit tests
+    the new queries with the deepest in-suite coverage (unit tests
     beyond the oracle mirror, which itself re-checks EVERY query each
-    pytest run) sit just past the window at 51-54 and lead round 6;
+    pytest run) sit just past the window at 51+ and lead round 6;
     the 50 freshly-green r4 entries rotate to the tail."""
     return {
         # --- new this round (r5) ---
@@ -1387,12 +1427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
-        # --- new in r5, window overflow (51-54): deep in-suite
+        # --- new in r5, window overflow (51+): deep in-suite
         # coverage now, lead the r6 driver window ---
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
         "line_dedup": q_line_dedup,
+        "cms_term_counts": q_cms_term_counts,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1547,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": sql_oracles.pagerank_sql(iterations=5, damping=0.85),
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),
+        "cms_term_counts": sql_oracles.cms_term_counts_sql(
+            depth=CMS_DEPTH, width=CMS_WIDTH
+        ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

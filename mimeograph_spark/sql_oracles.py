@@ -2710,3 +2710,35 @@ GROUP BY t.doc_id
 ORDER BY score DESC, t.doc_id
 LIMIT {k}
 """
+
+
+def cms_term_counts_sql(depth: int = 4, width: int = 64) -> str:
+    """Mirrors sketches.cms_build + cms_estimate over the token
+    stream: identical md5 bucket family (row d hashes d || ':' ||
+    term), identical counter aggregation, min-over-rows estimate
+    joined against the exact counts.  overcount >= 0 is the sketch's
+    one-sided error guarantee, checked value-exactly."""
+    return rf"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), exact AS (
+  SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term
+), buckets AS (
+  SELECT term, d,
+         ('0x' || substr(md5(d || ':' || term), 1, 8))::BIGINT
+           % {width} AS bucket
+  FROM toks, (SELECT unnest(range({depth})) AS d)
+), counters AS (
+  SELECT d, bucket, count(*) AS cnt FROM buckets GROUP BY d, bucket
+), probe AS (
+  SELECT DISTINCT term, d, bucket FROM buckets
+), est AS (
+  SELECT term, CAST(min(cnt) AS BIGINT) AS cms_cnt
+  FROM probe JOIN counters USING (d, bucket) GROUP BY term
+)
+SELECT e.term, CAST(exact_cnt AS BIGINT) AS exact_cnt, cms_cnt,
+       cms_cnt - exact_cnt AS overcount
+FROM exact e JOIN est USING (term)
+"""

@@ -1560,3 +1560,89 @@ def test_bm25_rejects_empty_terms(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def _py_cms_bucket(key: str, d: int, width: int) -> int:
+    return int(hashlib.md5(f"{d}:{key}".encode()).hexdigest()[:8], 16) % width
+
+
+def test_cms_estimate_upper_bounds_and_python_mirror(spark):
+    """Narrow width forces collisions; every estimate must still be
+    >= the true count (one-sided error) and equal the straight-line
+    Python sketch exactly."""
+    from mimeograph_spark.functions.sketches import cms_build, cms_estimate
+
+    depth, width = 3, 8
+    freqs = {f"k{i}": (i % 5) + 1 for i in range(40)}
+    rows = [(k,) for k, n in freqs.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "key string")
+    counters = cms_build(df, "key", depth=depth, width=width)
+    est = {
+        r["key"]: r["cms_cnt"]
+        for r in cms_estimate(
+            counters, df, "key", depth=depth, width=width
+        ).collect()
+    }
+    # python mirror of the exact same counter table
+    table = {}
+    for k, n in freqs.items():
+        for d in range(depth):
+            b = _py_cms_bucket(k, d, width)
+            table[(d, b)] = table.get((d, b), 0) + n
+    for k, n in freqs.items():
+        expect = min(
+            table[(d, _py_cms_bucket(k, d, width))] for d in range(depth)
+        )
+        assert est[k] == expect
+        assert est[k] >= n
+
+
+def test_cms_exact_when_width_dominates(spark):
+    """With width far above the key cardinality every bucket row is
+    collision-free and the estimate is exact."""
+    from mimeograph_spark.functions.sketches import cms_build, cms_estimate
+
+    freqs = {"a": 3, "b": 1, "c": 7}
+    rows = [(k,) for k, n in freqs.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "key string")
+    counters = cms_build(df, "key", depth=4, width=4096)
+    est = {
+        r["key"]: r["cms_cnt"]
+        for r in cms_estimate(
+            counters, df, "key", depth=4, width=4096
+        ).collect()
+    }
+    assert est == freqs
+
+
+def test_cms_counters_are_linear(spark):
+    """Counter tables from disjoint shards add cell-wise to the
+    whole-corpus table — the property that makes the build a plain
+    distributed sum."""
+    from mimeograph_spark.functions.sketches import cms_build
+
+    rows = [(f"k{i % 7}",) for i in range(50)]
+    whole = spark.createDataFrame(rows, "key string")
+    left = spark.createDataFrame(rows[:23], "key string")
+    right = spark.createDataFrame(rows[23:], "key string")
+
+    def tab(df):
+        return {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in cms_build(df, "key", depth=3, width=16).collect()
+        }
+
+    combined = tab(left)
+    for cell, cnt in tab(right).items():
+        combined[cell] = combined.get(cell, 0) + cnt
+    assert combined == tab(whole)
+
+
+def test_cms_absent_key_estimates_zero_on_empty_sketch(spark):
+    from mimeograph_spark.functions.sketches import cms_build, cms_estimate
+
+    empty = spark.createDataFrame([], "key string")
+    counters = cms_build(empty, "key", depth=3, width=16)
+    probe = spark.createDataFrame([("ghost",)], "key string")
+    rows = cms_estimate(counters, probe, "key", depth=3, width=16).collect()
+    assert [(r["key"], r["cms_cnt"]) for r in rows] == [("ghost", 0)]
