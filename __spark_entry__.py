@@ -1178,6 +1178,35 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K, BLOOM_M_BITS = 4, 16384
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (dedup.bloom_decontaminate): the
+    broadcast-bitset form of `decontaminate` — the eval partition's
+    distinct 5-grams collapse to a 16 Kibit bloom whose broadcast
+    cost is constant in the deny-set size, with zero false negatives
+    and a designed false-positive rate.  Sizing note: per-GRAM FPR is
+    amplified per-DOC by its ~50 distinct grams (union bound), so m
+    is sized ~37 bits/key here rather than the textbook 10 — at
+    sf0.01 that yields the 1 truly contaminated doc plus 4 observable
+    false positives (m=4096 floods to 243; the sweep is in the
+    docstring history).  Same eval split as `decontaminate`
+    (doc_id % 50 == 0); the md5 bucket family is bit-identical in
+    DuckDB, so even the false positives are value-hash checked."""
+    from mimeograph_spark.cacheutil import ensure_compute_parallelism
+    from mimeograph_spark.functions.dedup import bloom_decontaminate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = ensure_compute_parallelism(
+        docs.filter(F.col("doc_id") % 50 != 0)
+    )
+    return bloom_decontaminate(
+        train, ev, n=5, k=BLOOM_K, m_bits=BLOOM_M_BITS
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1434,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "line_dedup": q_line_dedup,
         "cms_term_counts": q_cms_term_counts,
+        "bloom_decontaminate": q_bloom_decontaminate,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1590,6 +1620,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),
         "cms_term_counts": sql_oracles.cms_term_counts_sql(
             depth=CMS_DEPTH, width=CMS_WIDTH
+        ),
+        "bloom_decontaminate": sql_oracles.bloom_decontaminate_sql(
+            n=5, modulus=50, k=BLOOM_K, m_bits=BLOOM_M_BITS
         ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

@@ -859,3 +859,57 @@ def line_dedup(
         F.col("_id").alias(id_col), "n_lines", "n_kept", "clean_text"
     )
     return register_persisted(out, lines) if single_scan else out
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 4,
+    m_bits: int = 4096,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Bloom-filter decontamination: the broadcast-bitset form of
+    `decontaminate`.  That operator broadcasts the eval set's DISTINCT
+    gram hashes — fine for benchmark-sized eval sets, unbounded when
+    the deny-set is itself web-scale (a blocklist of billions of
+    grams).  Here the deny-set collapses to an m_bits bitset
+    (sketches.bloom_build) whose broadcast cost is CONSTANT in the
+    deny-set size, at the price of a designed false-positive rate
+    (~(1-e^(-kn/m))^k) — and zero false negatives, so every truly
+    contaminated doc is still flagged.
+
+    Per train doc: distinct-gram count, bloom-hit count, and the
+    contaminated flag (hits >= min_matches).  All docs are returned
+    (not just flagged ones) so the false-positive behaviour is
+    observable.  One corpus scan; the only shuffles are the two
+    map-side-combined aggregations (per (doc, gram), then per doc)."""
+    from .sketches import bloom_build, bloom_contains
+
+    eval_grams = eval_set.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bloom = bloom_build(eval_grams, "gram", k=k, m_bits=m_bits)
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    hits = bloom_contains(
+        bloom, train_grams, "gram", k=k, m_bits=m_bits, carry=("doc_id",)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("maybe_member").cast("long")).alias(
+                "n_bloom_hits"
+            ),
+        )
+        .withColumn(
+            "contaminated", F.col("n_bloom_hits") >= min_matches
+        )
+    )

@@ -101,3 +101,108 @@ def cms_estimate(
             .alias("cms_cnt")
         )
     )
+
+
+# --- Bloom filter -------------------------------------------------
+#
+# Set membership in O(m bits) regardless of set cardinality — the
+# broadcast-bitset form of decontamination.  decontaminate()
+# broadcasts the eval set's DISTINCT gram hashes (fine for benchmark
+# sized eval sets); when the deny-set itself is huge (a blocklist of
+# billions of grams/URLs), the bloom caps the broadcast at m bits
+# with a quantified false-positive rate (~(1-e^(-kn/m))^k) and NO
+# false negatives.  Words hold 32 bits each (bit 63 of a BIGINT
+# overflows DuckDB's << and flips the sign in Spark — 32-bit masks
+# stay positive and bit-identical on both engines).
+
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_coords(key, k: int, m_bits: int):
+    """Array of k (word_idx, mask) structs for `key` — hash row h
+    uses md5(h ":" key), the same family as the count-min rows."""
+    def pos(h: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(h), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    return F.array(
+        *[
+            F.struct(
+                (pos(h) / BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (pos(h) % BLOOM_WORD_BITS).cast("int"),
+                ).alias("mask"),
+            )
+            for h in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str = "key",
+    k: int = 4,
+    m_bits: int = 1024,
+) -> DataFrame:
+    """Bitset as (word_idx, word) rows — at most m_bits/32 rows, one
+    pass over the keys; word tables from disjoint shards OR together
+    cell-wise, so the build distributes like any aggregation."""
+    return (
+        df.select(
+            F.explode(
+                _bloom_coords(F.col(key_col), k, m_bits)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("c.mask")).alias("word"))
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    k: int = 4,
+    m_bits: int = 1024,
+    carry: tuple = (),
+) -> DataFrame:
+    """(carry..., key, maybe_member) — true iff ALL k of the key's
+    bits are set (no false negatives; false positives at the designed
+    rate).  The word table is broadcast: it is bounded by m_bits
+    whatever the deny-set size.  `carry` columns ride through the
+    probe so composite keys (doc_id, gram) aggregate in ONE pass
+    instead of probing distinct keys and shuffle-joining back."""
+    coords = probes.select(
+        *[F.col(c) for c in carry],
+        F.col(key_col).alias("key"),
+        F.explode(_bloom_coords(F.col(key_col), k, m_bits)).alias("c"),
+    ).select(
+        *carry,
+        "key",
+        F.col("c.word_idx").alias("word_idx"),
+        F.col("c.mask").alias("mask"),
+    )
+    return (
+        coords.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(*carry, "key")
+        .agg(
+            F.min(
+                (
+                    F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(
+                        F.col("mask")
+                    )
+                    == F.col("mask")
+                ).cast("int")
+            ).cast("boolean").alias("maybe_member")
+        )
+    )

@@ -2742,3 +2742,52 @@ SELECT e.term, CAST(exact_cnt AS BIGINT) AS exact_cnt, cms_cnt,
        cms_cnt - exact_cnt AS overcount
 FROM exact e JOIN est USING (term)
 """
+
+
+def bloom_decontaminate_sql(
+    n: int = 5,
+    modulus: int = 50,
+    k: int = 4,
+    m_bits: int = 4096,
+    min_matches: int = 1,
+) -> str:
+    """Mirrors dedup.bloom_decontaminate bit-for-bit: same md5 hash
+    rows (h || ':' || gram), same 32-bits-per-word bitset, same
+    min-over-rows membership test — so even the bloom's false
+    positives are value-hash checked."""
+    pos = f"(('0x' || substr(md5(h || ':' || gram), 1, 8))::BIGINT % {m_bits})"
+    return f"""
+WITH hrows AS (
+  SELECT unnest(range({k})) AS h
+), ev_toks AS (
+  SELECT regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} = 0
+), evg AS (
+  SELECT DISTINCT unnest({_shingles_sql(n)}) AS gram FROM ev_toks
+), evc AS (
+  SELECT {pos} AS pos FROM evg, hrows
+), bloom AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+  FROM evc GROUP BY 1
+), tr_toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE doc_id % {modulus} != 0
+), tg AS (
+  SELECT doc_id, unnest({_shingles_sql(n)}) AS gram FROM tr_toks
+), tc AS (
+  SELECT doc_id, gram, {pos} AS pos FROM tg, hrows
+), probe AS (
+  SELECT doc_id, gram,
+         min(CASE WHEN (coalesce(word, 0)
+                        & (1::BIGINT << CAST(pos % 32 AS INT)))
+                       = (1::BIGINT << CAST(pos % 32 AS INT))
+                  THEN 1 ELSE 0 END) AS hit
+  FROM tc LEFT JOIN bloom ON tc.pos // 32 = bloom.word_idx
+  GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+       sum(hit) >= {min_matches} AS contaminated
+FROM probe GROUP BY doc_id
+"""

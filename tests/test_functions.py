@@ -1646,3 +1646,94 @@ def test_cms_absent_key_estimates_zero_on_empty_sketch(spark):
     probe = spark.createDataFrame([("ghost",)], "key string")
     rows = cms_estimate(counters, probe, "key", depth=3, width=16).collect()
     assert [(r["key"], r["cms_cnt"]) for r in rows] == [("ghost", 0)]
+
+
+def _py_bloom_coords(key: str, k: int, m_bits: int):
+    for h in range(k):
+        p = int(hashlib.md5(f"{h}:{key}".encode()).hexdigest()[:8], 16) % m_bits
+        yield p // 32, 1 << (p % 32)
+
+
+def test_bloom_no_false_negatives_and_python_mirror(spark):
+    """Even a deliberately saturated bloom must answer true for every
+    inserted key, and each answer must equal the straight-line Python
+    bitset exactly (false positives included)."""
+    from mimeograph_spark.functions.sketches import bloom_build, bloom_contains
+
+    k, m = 3, 128  # 60 keys * 3 hashes into 128 bits: heavy collisions
+    keys = [f"key{i}" for i in range(60)]
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    bloom = bloom_build(df, "key", k=k, m_bits=m)
+    probes = keys + [f"other{i}" for i in range(40)]
+    got = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_contains(
+            bloom,
+            spark.createDataFrame([(x,) for x in probes], "key string"),
+            "key", k=k, m_bits=m,
+        ).collect()
+    }
+    words = {}
+    for x in keys:
+        for w, mask in _py_bloom_coords(x, k, m):
+            words[w] = words.get(w, 0) | mask
+    for x in probes:
+        expect = all(
+            (words.get(w, 0) & mask) == mask
+            for w, mask in _py_bloom_coords(x, k, m)
+        )
+        assert got[x] == expect
+    assert all(got[x] for x in keys)  # zero false negatives
+
+
+def test_bloom_words_or_cellwise_across_shards(spark):
+    """Shard bitsets OR together to the whole-set bitset — the build
+    distributes like any aggregation."""
+    from mimeograph_spark.functions.sketches import bloom_build
+
+    keys = [(f"k{i}",) for i in range(30)]
+
+    def tab(rows):
+        df = spark.createDataFrame(rows, "key string")
+        return {
+            r["word_idx"]: r["word"]
+            for r in bloom_build(df, "key", k=3, m_bits=256).collect()
+        }
+
+    combined = tab(keys[:13])
+    for w, word in tab(keys[13:]).items():
+        combined[w] = combined.get(w, 0) | word
+    assert combined == tab(keys)
+
+
+def test_bloom_decontaminate_supersets_exact(spark):
+    """The bloom path may over-flag (false positives) but must flag
+    every doc the exact n-gram join flags."""
+    from mimeograph_spark.functions.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "totally unrelated words here nothing shared at all"),
+        (4, "alpha beta gamma delta epsilon again"),
+    ]
+    ev = [(100, "alpha beta gamma delta epsilon zeta"),
+          (101, "one two three four five six")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_set = spark.createDataFrame(ev, "doc_id long, text string")
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(train, eval_set, n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["contaminated"]
+        for r in bloom_decontaminate(
+            train, eval_set, n=5, k=4, m_bits=4096
+        ).collect()
+    }
+    assert set(bloom) == {1, 2, 3, 4}  # every train doc reported
+    for d in exact:
+        assert bloom[d], f"doc {d} exact-contaminated but bloom missed it"
