@@ -1207,6 +1207,27 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap estimate (dedup.corpus_overlap): the
+    64-slot corpus MinHash (elementwise min over the gram stream, one
+    map-side-combined aggregation per corpus, shard-combinable) vs
+    the exact distinct-gram Jaccard between two OVERLAPPING
+    partitions (doc_id % 2 == 0 and % 3 == 0 — every 6th doc is in
+    both, so the gram sets genuinely intersect and the slot-agreement
+    estimate is non-degenerate).  The exact path is the one you'd
+    drop at 100 TB; the driver row value-checks BOTH, so the
+    estimate's error against exact is itself pinned."""
+    from mimeograph_spark.functions.dedup import corpus_overlap
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        n=3,
+        k=64,
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1464,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "cms_term_counts": q_cms_term_counts,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "corpus_overlap": q_corpus_overlap,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1623,6 +1645,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_decontaminate": sql_oracles.bloom_decontaminate_sql(
             n=5, modulus=50, k=BLOOM_K, m_bits=BLOOM_M_BITS
+        ),
+        "corpus_overlap": sql_oracles.corpus_overlap_sql(
+            n=3,
+            pred_a="doc_id % 2 = 0",
+            pred_b="doc_id % 3 = 0",
+            k=64,
         ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

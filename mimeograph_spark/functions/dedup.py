@@ -913,3 +913,95 @@ def bloom_decontaminate(
             "contaminated", F.col("n_bloom_hits") >= min_matches
         )
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Corpus-level overlap between two document sets, WITHOUT any
+    pairwise doc comparison: the MinHash signature of a gram SET is
+    the elementwise min over its members, so a whole corpus's
+    signature is ONE map-side-combined aggregation (min per
+    permutation) over the exploded gram stream — signatures from
+    disjoint shards combine by elementwise min, exactly like the
+    count-min/bloom sketches combine by sum/or.  Estimated Jaccard =
+    fraction of agreeing signature slots (stderr ~ sqrt(J(1-J)/k)).
+
+    `with_exact` also computes the exact distinct-gram Jaccard (two
+    distinct-aggregations + one join) as the verification baseline —
+    that path shuffles the gram space and is the one you'd DROP at
+    100 TB, which is the point of the estimate.  Each corpus's
+    gram-hash stream is persisted (narrow: one long column) so the
+    corpus is SCANNED once however many consumers read it (signature,
+    distinct count, intersection).  Returns one row: gram counts,
+    intersection/union, exact and estimated Jaccard (rounded to 6
+    for cross-engine hashing)."""
+    from pyspark.storagelevel import StorageLevel
+
+    params = minhash_params(k)
+
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(shingles(F.col(text_col), n)).alias("s")
+            )
+            .select(shingle_hash(F.col("s")).alias("h"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    ha, hb = gram_hashes(a), gram_hashes(b)
+
+    def sig(hashes: DataFrame, tag: str) -> DataFrame:
+        return hashes.agg(
+            *[
+                F.min((F.col("h") * pa + pb) % MINHASH_PRIME).alias(
+                    f"{tag}{i}"
+                )
+                for i, (pa, pb) in enumerate(params)
+            ]
+        )
+
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
+        for i in range(k)
+    )
+    out = (
+        sig(ha, "_a")
+        .crossJoin(sig(hb, "_b"))  # two 1-row frames
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            agree.cast("long").alias("n_agree"),
+            F.round(agree / F.lit(k), 6).alias("est_jaccard"),
+        )
+    )
+    if not with_exact:
+        return register_persisted(out, ha, hb)
+
+    ga, gb = ha.distinct(), hb.distinct()
+    na = ga.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = gb.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    ni = ga.join(gb, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intersect")
+    )
+    exact = (
+        na.crossJoin(nb)
+        .crossJoin(ni)
+        .select(
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias(
+                "n_union"
+            ),
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.round(F.col("n_intersect") / F.col("n_union"), 6),
+        )
+    )
+    return register_persisted(exact.crossJoin(out), ha, hb)

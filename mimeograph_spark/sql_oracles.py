@@ -2791,3 +2791,62 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        sum(hit) >= {min_matches} AS contaminated
 FROM probe GROUP BY doc_id
 """
+
+
+def corpus_overlap_sql(
+    n: int = 3,
+    pred_a: str = "doc_id % 2 = 0",
+    pred_b: str = "doc_id % 3 = 0",
+    k: int = 64,
+) -> str:
+    """Mirrors dedup.corpus_overlap: corpus MinHash signatures as
+    elementwise mins over each partition's gram-hash stream, slot
+    agreement as the Jaccard estimate, plus the exact distinct-set
+    Jaccard — all from the same md5 gram hashes, so both the estimate
+    and its error vs exact are value-checked."""
+    from .functions.dedup import MINHASH_PRIME, minhash_params
+
+    params = minhash_params(k)
+    a_mins = ", ".join(
+        f"min((h * {pa} + {pb}) % {MINHASH_PRIME}) AS a{i}"
+        for i, (pa, pb) in enumerate(params)
+    )
+    b_mins = ", ".join(
+        f"min((h * {pa} + {pb}) % {MINHASH_PRIME}) AS b{i}"
+        for i, (pa, pb) in enumerate(params)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH a_toks AS (
+  SELECT regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE {pred_a}
+), a_h AS (
+  SELECT ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+  FROM (SELECT unnest({_shingles_sql(n)}) AS s FROM a_toks)
+), b_toks AS (
+  SELECT regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents WHERE {pred_b}
+), b_h AS (
+  SELECT ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+  FROM (SELECT unnest({_shingles_sql(n)}) AS s FROM b_toks)
+), asig AS (SELECT {a_mins} FROM a_h),
+   bsig AS (SELECT {b_mins} FROM b_h),
+   da AS (SELECT count(DISTINCT h) AS n_a FROM a_h),
+   db AS (SELECT count(DISTINCT h) AS n_b FROM b_h),
+   di AS (
+     SELECT count(*) AS n_intersect
+     FROM (SELECT DISTINCT h FROM a_h) x
+     JOIN (SELECT DISTINCT h FROM b_h) y USING (h)
+   )
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_intersect AS BIGINT) AS n_intersect,
+       CAST(n_a + n_b - n_intersect AS BIGINT) AS n_union,
+       round(n_intersect / (n_a + n_b - n_intersect), 6)
+         AS exact_jaccard,
+       CAST({k} AS BIGINT) AS k,
+       CAST({agree} AS BIGINT) AS n_agree,
+       round(({agree}) / {k}, 6) AS est_jaccard
+FROM da, db, di, asig, bsig
+"""

@@ -1737,3 +1737,67 @@ def test_bloom_decontaminate_supersets_exact(spark):
     assert set(bloom) == {1, 2, 3, 4}  # every train doc reported
     for d in exact:
         assert bloom[d], f"doc {d} exact-contaminated but bloom missed it"
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    from mimeograph_spark.functions.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    same = corpus_overlap(a, a, n=3, k=32).collect()[0]
+    assert same["exact_jaccard"] == 1.0
+    assert same["n_agree"] == 32 and same["est_jaccard"] == 1.0
+
+    b = spark.createDataFrame(
+        [(3, "totally different words entirely here")],
+        "doc_id long, text string",
+    )
+    disj = corpus_overlap(a, b, n=3, k=32).collect()[0]
+    assert disj["n_intersect"] == 0 and disj["exact_jaccard"] == 0.0
+
+
+def test_corpus_overlap_matches_python_mirror(spark):
+    """Signature mins, slot agreement, and exact Jaccard all equal a
+    straight-line Python computation over the same md5/LCG family."""
+    from mimeograph_spark.functions.dedup import (
+        MINHASH_PRIME,
+        corpus_overlap,
+        minhash_params,
+    )
+
+    docs_a = ["the quick brown fox jumps over the lazy dog",
+              "pack my box with five dozen liquor jugs"]
+    docs_b = ["the quick brown fox jumps over a sleeping cat",
+              "pack my box with five dozen liquor jugs"]
+    k = 16
+
+    def gramset(docs):
+        out = set()
+        for t in docs:
+            for s in _py_shingles(t, 3):
+                out.add(int(hashlib.md5(s.encode()).hexdigest()[:8], 16))
+        return out
+
+    ga, gb = gramset(docs_a), gramset(docs_b)
+    params = minhash_params(k)
+    sig = lambda gs: [
+        min((h * pa + pb) % MINHASH_PRIME for h in gs)
+        for pa, pb in params
+    ]
+    sa, sb = sig(ga), sig(gb)
+    expect_agree = sum(int(x == y) for x, y in zip(sa, sb))
+    expect_exact = round(len(ga & gb) / len(ga | gb), 6)
+
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_a)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_b)], "doc_id long, text string"
+    )
+    row = corpus_overlap(a, b, n=3, k=k).collect()[0]
+    assert row["n_agree"] == expect_agree
+    assert row["exact_jaccard"] == expect_exact
+    assert row["n_a"] == len(ga) and row["n_b"] == len(gb)
+    assert row["n_intersect"] == len(ga & gb)
