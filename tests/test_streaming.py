@@ -563,3 +563,103 @@ def test_streaming_incremental_dedup_matches_batch_and_skips_replay(
         k=16, bands=4,
     ) is False
     assert spark.read.parquet(pairs_out).count() == n_pairs
+
+
+def test_streaming_cms_matches_batch_and_is_replay_safe(spark, tmp_path):
+    """Streamed count-min state must equal the batch-built sketch
+    over the same rows.  Sums are not replay-idempotent by algebra
+    (unlike HLL union), so exactly-once rests on per-batch delta
+    keying: redelivering the same (batch_id, data) pair overwrites
+    its own rows and changes nothing, and a restart with the same
+    stream checkpoint processes only NEW files."""
+    from mimeograph_spark.functions.sketches import cms_build
+    from mimeograph_spark.streaming.cms_agg import (
+        cms_process_batch,
+        cms_stream_counters,
+        run_cms_stream,
+    )
+
+    depth, width = 4, 64
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "user_id")
+    input_dir = str(tmp_path / "incoming")
+    events.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(
+        input_dir
+    )
+    events.filter(F.col("event_id") % 3 == 1).write.mode("append").parquet(
+        input_dir
+    )
+
+    ckpt = CheckpointTable(str(tmp_path / "cms"))
+    q = run_cms_stream(
+        spark, input_dir, ckpt, str(tmp_path / "stream_ckpt"),
+        key_col="user_id", depth=depth, width=width,
+    )
+    q.awaitTermination(120)
+
+    def tab(df):
+        return {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in df.collect()
+        }
+
+    streamed = tab(cms_stream_counters(spark, ckpt))
+    batch = tab(
+        cms_build(
+            events.filter(F.col("event_id") % 3 != 2),
+            "user_id", depth=depth, width=width,
+        )
+    )
+    assert streamed == batch and len(streamed) > 10
+
+    # restart with the SAME stream checkpoint after a new file lands:
+    # only the new slice is processed, totals now cover all rows
+    events.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(
+        input_dir
+    )
+    q2 = run_cms_stream(
+        spark, input_dir, ckpt, str(tmp_path / "stream_ckpt"),
+        key_col="user_id", depth=depth, width=width,
+    )
+    q2.awaitTermination(120)
+    assert tab(cms_stream_counters(spark, ckpt)) == tab(
+        cms_build(events, "user_id", depth=depth, width=width)
+    )
+
+
+def test_cms_process_batch_redelivery_is_idempotent(spark, tmp_path):
+    """Direct foreachBatch redelivery contract: the same (batch_id,
+    data) pair applied twice leaves the summed state unchanged; a new
+    batch_id adds."""
+    from mimeograph_spark.functions.sketches import cms_build
+    from mimeograph_spark.streaming.cms_agg import (
+        cms_process_batch,
+        cms_stream_counters,
+    )
+
+    depth, width = 3, 32
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "key string")
+    b = spark.createDataFrame([("y",), ("z",)], "key string")
+    ckpt = CheckpointTable(str(tmp_path / "cms"))
+
+    def tab():
+        return {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in cms_stream_counters(spark, ckpt).collect()
+        }
+
+    cms_process_batch(a, 0, ckpt, "key", depth, width)
+    first = tab()
+    cms_process_batch(a, 0, ckpt, "key", depth, width)  # redelivery
+    assert tab() == first
+
+    cms_process_batch(b, 1, ckpt, "key", depth, width)
+    both = tab()
+    expect = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            a.unionByName(b), "key", depth=depth, width=width
+        ).collect()
+    }
+    assert both == expect
