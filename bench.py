@@ -178,6 +178,7 @@ HEADLINE_QUERIES = (
     "url_dedup_best", "heavy_hitters", "bigram_logprob",
     "domain_stats", "chunk_documents", "check_constraints",
     "incremental_dedup", "pagerank", "inverted_postings", "bm25_topk",
+    "cms_term_counts", "bloom_decontaminate", "corpus_overlap",
 )
 
 
