@@ -1228,6 +1228,38 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (funnel.funnel_steps): users progressing
+    signup -> view -> click -> purchase IN ORDER within the first
+    three days (the window keeps per-user event counts low enough
+    that not everyone converts — the full 30-day corpus is uniform
+    and degenerately saturates every step).  One shuffle: per-user
+    sorted fold with a stage counter — no per-step self-join."""
+    from mimeograph_spark.functions.funnel import funnel_steps
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    return funnel_steps(ev, list(FUNNEL_STEPS))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (funnel.retention_cohorts) over
+    purchase events in 3-day periods: users bucketed by first
+    purchase period, per-offset active share.  Integer day-bucket
+    arithmetic from a fixed epoch — no week-of-year locale traps —
+    and both shuffles key on user_id."""
+    from mimeograph_spark.functions.funnel import retention_cohorts
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return retention_cohorts(ev, epoch="2024-01-01", period_days=3)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1486,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": q_cms_term_counts,
         "bloom_decontaminate": q_bloom_decontaminate,
         "corpus_overlap": q_corpus_overlap,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1651,6 +1685,12 @@ def oracle_sql() -> dict[str, str]:
             pred_a="doc_id % 2 = 0",
             pred_b="doc_id % 3 = 0",
             k=64,
+        ),
+        "funnel_steps": sql_oracles.funnel_steps_sql(
+            steps=FUNNEL_STEPS, before="2024-01-04 00:00:00"
+        ),
+        "retention_cohorts": sql_oracles.retention_cohorts_sql(
+            event_type="purchase", epoch="2024-01-01", period_days=3
         ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

@@ -2850,3 +2850,80 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(({agree}) / {k}, 6) AS est_jaccard
 FROM da, db, di, asig, bsig
 """
+
+
+def funnel_steps_sql(
+    steps: tuple = ("signup", "view", "click", "purchase"),
+    before: str = "2024-01-04 00:00:00",
+) -> str:
+    """Mirrors funnel.funnel_steps: per-user event codes in
+    (ts, event_id) order, folded left-to-right with a stage counter
+    (list_reduce with a prepended 0 accumulator = Spark's
+    F.aggregate init), then per-step reach and conversion."""
+    k = len(steps)
+    code = "CASE event_type " + " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(steps)
+    ) + " ELSE -1 END"
+    reach = ", ".join(
+        f"sum(CASE WHEN depth >= {i + 1} THEN 1 ELSE 0 END) AS n{i}"
+        for i in range(k)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, "
+        f"'{s}' AS step_name, CAST(n{i} AS BIGINT) AS n_users, "
+        f"round(CASE WHEN {'n_total' if i == 0 else f'n{i - 1}'} > 0 "
+        f"THEN n{i} / {'n_total' if i == 0 else f'n{i - 1}'} "
+        f"ELSE 0 END, 6) AS conv_from_prev, "
+        f"round(CASE WHEN n_total > 0 THEN n{i} / n_total "
+        f"ELSE 0 END, 6) AS conv_from_start FROM t"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH coded AS (
+  SELECT user_id, ts, event_id, {code} AS code
+  FROM events WHERE ts < TIMESTAMP '{before}'
+), ue AS (
+  SELECT user_id, list(code ORDER BY ts, event_id) AS codes
+  FROM coded GROUP BY user_id
+), du AS (
+  SELECT list_reduce(list_prepend(0, codes),
+           (acc, c) -> acc + CASE WHEN c = acc THEN 1 ELSE 0 END)
+         AS depth
+  FROM ue
+), t AS (
+  SELECT count(*) AS n_total, {reach} FROM du
+)
+{rows}
+"""
+
+
+def retention_cohorts_sql(
+    event_type: str = "purchase",
+    epoch: str = "2024-01-01",
+    period_days: int = 3,
+) -> str:
+    """Mirrors funnel.retention_cohorts over one event type: integer
+    day-bucket periods from a fixed epoch, first period per user as
+    the cohort, per-offset active share."""
+    return f"""
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_diff('day', DATE '{epoch}', ts::DATE)
+              // {period_days} AS BIGINT) AS period
+  FROM events WHERE event_type = '{event_type}'
+), coh AS (
+  SELECT u, min(period) AS cohort_period FROM act GROUP BY u
+), sizes AS (
+  SELECT cohort_period, count(*) AS n_cohort FROM coh GROUP BY 1
+), r AS (
+  SELECT cohort_period, period - cohort_period AS period_offset,
+         count(*) AS n_active
+  FROM act JOIN coh USING (u)
+  GROUP BY 1, 2
+)
+SELECT cohort_period, period_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       round(n_active / n_cohort, 6) AS retention
+FROM r JOIN sizes USING (cohort_period)
+"""

@@ -1801,3 +1801,71 @@ def test_corpus_overlap_matches_python_mirror(spark):
     assert row["exact_jaccard"] == expect_exact
     assert row["n_a"] == len(ga) and row["n_b"] == len(gb)
     assert row["n_intersect"] == len(ga & gb)
+
+
+def test_funnel_order_semantics(spark):
+    """Ordered-funnel: a later-step event BEFORE the earlier step
+    must not count; ties on ts resolve by event_id."""
+    from datetime import datetime
+
+    from mimeograph_spark.functions.funnel import funnel_steps
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes A then B in order
+        (1, t(1), 1, "A"), (1, t(2), 2, "B"),
+        # u2 has B before A: reaches step 1 only
+        (2, t(1), 3, "B"), (2, t(2), 4, "A"),
+        # u3 never does A
+        (3, t(1), 5, "B"),
+        # u4: A and B at the SAME ts — event_id order (A first) counts
+        (4, t(1), 6, "A"), (4, t(1), 7, "B"),
+        # u5: same ts but B has the smaller event_id: step 1 only
+        (5, t(1), 9, "A"), (5, t(1), 8, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["step"]: (r["n_users"], r["conv_from_prev"])
+        for r in funnel_steps(df, ["A", "B"]).collect()
+    }
+    # step 1 (A): u1, u2, u4, u5 -> 4 of 5 users
+    assert got[1] == (4, 0.8)
+    # step 2 (B after A): u1 and u4 only
+    assert got[2] == (2, 0.5)
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from mimeograph_spark.functions.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    with pytest.raises(ValueError):
+        funnel_steps(df, [])
+
+
+def test_retention_cohorts_matches_python_mirror(spark):
+    from datetime import datetime
+
+    from mimeograph_spark.functions.funnel import retention_cohorts
+
+    rows = []
+    # u1 active periods 0,1,3; u2 periods 1,2; u3 period 0 only
+    for u, day in [(1, 0), (1, 8), (1, 22), (2, 7), (2, 15), (3, 2)]:
+        rows.append((u, datetime(2024, 1, 1 + day, 12, 0, 0)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["n_active"], r["n_cohort"], r["retention"]
+        )
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    # cohorts: u1,u3 -> period 0 (2 users); u2 -> period 1 (1 user)
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)   # u1 in period 1
+    assert got[(0, 3)] == (1, 2, 0.5)   # u1 in period 3
+    assert (0, 2) not in got            # nobody from cohort 0 in p2
+    assert got[(1, 0)] == (1, 1, 1.0)
+    assert got[(1, 1)] == (1, 1, 1.0)   # u2 in period 2
