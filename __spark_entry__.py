@@ -1260,6 +1260,53 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, epoch="2024-01-01", period_days=3)
 
 
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (quantiles.histogram_quantiles)
+    over events.value, range [0, 500) x 128 bins, vs the exact
+    rank-arithmetic percentiles — one row with estimate, exact, and
+    the per-q error (bounded by one 3.91-wide bin).  The histogram is
+    the shard-summable sketch form; the exact twin is what it's
+    validated against."""
+    from mimeograph_spark.functions.quantiles import (
+        exact_percentiles,
+        histogram_quantiles,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("value")
+    hist = histogram_quantiles(ev, "value", 0.0, 500.0, bins=128, qs=HIST_QS)
+
+    def tag(q: float) -> str:
+        return f"p{q * 100:g}".replace(".", "_")
+
+    hrow = hist.groupBy().agg(
+        *[
+            F.max(
+                F.when(F.col("q") == q, F.col("hist_est"))
+            ).alias(f"h_{tag(q)}")
+            for q in HIST_QS
+        ]
+    )
+    exact = exact_percentiles(
+        ev.withColumn("_g", F.lit(1)), "value", "_g", qs=HIST_QS
+    ).select(
+        "n", *[F.col(tag(q)).alias(f"e_{tag(q)}") for q in HIST_QS]
+    )
+    return hrow.crossJoin(exact).select(
+        "n",
+        *[f"h_{tag(q)}" for q in HIST_QS],
+        *[f"e_{tag(q)}" for q in HIST_QS],
+        *[
+            F.round(
+                F.abs(F.col(f"h_{tag(q)}") - F.col(f"e_{tag(q)}")), 6
+            ).alias(f"err_{tag(q)}")
+            for q in HIST_QS
+        ],
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1520,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
+        "histogram_quantiles": q_histogram_quantiles,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1691,6 +1739,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "retention_cohorts": sql_oracles.retention_cohorts_sql(
             event_type="purchase", epoch="2024-01-01", period_days=3
+        ),
+        "histogram_quantiles": sql_oracles.histogram_quantiles_sql(
+            lo=0.0, hi=500.0, bins=128, qs=HIST_QS
         ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)

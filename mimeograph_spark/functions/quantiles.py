@@ -55,3 +55,97 @@ def exact_percentiles(
             F.round(val_lo + frac * (val_hi - val_lo), 6).alias(name)
         )
     return joined.groupBy(by).agg(*aggs)
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Fixed-range histogram as (bin, cnt) rows — one map-side-
+    combined pass; bin tables from disjoint shards ADD cell-wise.
+    Out-of-range values clamp to the edge bins."""
+    width = (hi - lo) / bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """MERGEABLE approximate quantiles from a fixed-range histogram —
+    the sketch-family complement to `exact_percentiles`:
+
+    - build is one map-side-combined pass collapsing the stream to at
+      most `bins` (bin, cnt) rows; bin tables from disjoint shards
+      ADD cell-wise (same linearity as the count-min counters), so
+      the sketch streams, shards and rolls up freely;
+    - estimates read the cumulative histogram: the first bin whose
+      running mass reaches q*n, linearly interpolated inside it —
+      error is bounded by one bin width, chosen upfront by (hi-lo)/
+      bins, the monitoring-histogram contract (range fixed a priori,
+      e.g. latencies in [0, 10s)); out-of-range values clamp to the
+      edge bins.
+
+    The only non-parallel step is the cumulative window over the
+    BINS-row histogram — bounded by `bins`, never by data.  Output:
+    one row per q: (q, hist_est)."""
+    if hi <= lo or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    from pyspark.storagelevel import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    width = (hi - lo) / bins
+    # <= bins rows; persisted so the cumulative walk and the total
+    # don't each recompute the full input pass
+    hist = histogram_bins(df, value_col, lo, hi, bins).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+    total = hist.agg(F.sum("cnt").cast("double").alias("_t"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tgt = F.col("q") * F.col("_t")
+    picked = (
+        qdf.crossJoin(F.broadcast(total))
+        .join(F.broadcast(cum), F.col("cum") >= tgt)
+        .groupBy("q", "_t")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum_prev")).alias("s")
+        )
+    )
+    out = picked.select(
+        "q",
+        F.round(
+            F.lit(lo)
+            + F.lit(width)
+            * (
+                F.col("s.bin")
+                + (tgt - F.col("s.cum_prev")) / F.col("s.cnt")
+            ),
+            6,
+        ).alias("hist_est"),
+    )
+    return register_persisted(out, hist)

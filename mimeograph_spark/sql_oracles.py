@@ -2927,3 +2927,61 @@ SELECT cohort_period, period_offset,
        round(n_active / n_cohort, 6) AS retention
 FROM r JOIN sizes USING (cohort_period)
 """
+
+
+def histogram_quantiles_sql(
+    lo: float = 0.0,
+    hi: float = 500.0,
+    bins: int = 128,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    """Mirrors quantiles.histogram_quantiles over events.value plus
+    the exact quantile_cont baseline: identical binning, cumulative
+    mass walk, in-bin interpolation, and error columns."""
+    width = (hi - lo) / bins
+
+    def tag(q: float) -> str:
+        return f"p{q * 100:g}".replace(".", "_")
+
+    hcols = ", ".join(
+        f"max(CASE WHEN q = {q} THEN hist_est END) AS h_{tag(q)}"
+        for q in qs
+    )
+    ecols = ", ".join(
+        f"round(quantile_cont(x, {q}), 6) AS e_{tag(q)}" for q in qs
+    )
+    errs = ", ".join(
+        f"round(abs(h_{tag(q)} - e_{tag(q)}), 6) AS err_{tag(q)}"
+        for q in qs
+    )
+    hsel = ", ".join(f"h_{tag(q)}" for q in qs)
+    esel = ", ".join(f"e_{tag(q)}" for q in qs)
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS x FROM events
+), h AS (
+  SELECT LEAST({bins - 1},
+               GREATEST(0, CAST(floor((x - {lo}) / {width}) AS INT)))
+           AS bin,
+         count(*) AS cnt
+  FROM v GROUP BY 1
+), c AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+  FROM h
+), t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS _t FROM h),
+qs AS (SELECT unnest([{qlist}]) AS q),
+pick AS (
+  SELECT q, _t, min(bin) AS b
+  FROM qs, t, c WHERE cum >= q * _t GROUP BY q, _t
+), est AS (
+  SELECT q,
+         round({lo} + {width} * (b + (q * _t - cum_prev) / cnt), 6)
+           AS hist_est
+  FROM pick JOIN c ON c.bin = pick.b
+), hrow AS (SELECT {hcols} FROM est),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n, {ecols} FROM v)
+SELECT n, {hsel}, {esel}, {errs} FROM hrow, ex
+"""

@@ -1869,3 +1869,56 @@ def test_retention_cohorts_matches_python_mirror(spark):
     assert (0, 2) not in got            # nobody from cohort 0 in p2
     assert got[(1, 0)] == (1, 1, 1.0)
     assert got[(1, 1)] == (1, 1, 1.0)   # u2 in period 2
+
+
+def test_histogram_bins_add_cellwise_and_clamp(spark):
+    from mimeograph_spark.functions.quantiles import histogram_bins
+
+    vals = [float(v) for v in (-5, 0, 1, 3, 7, 9, 9.99, 12, 55)]
+
+    def tab(vs):
+        df = spark.createDataFrame([(v,) for v in vs], "x double")
+        return {
+            r["bin"]: r["cnt"]
+            for r in histogram_bins(df, "x", 0.0, 10.0, bins=10).collect()
+        }
+
+    whole = tab(vals)
+    # clamping: -5 lands in bin 0; 12 and 55 land in bin 9
+    assert whole[0] == 2  # -5 (clamped), 0 (width 1.0; 1 -> bin 1)
+    assert whole[1] == 1  # 1
+    assert whole[9] == 4  # 9, 9.99, 12 (clamped), 55 (clamped)
+    combined = tab(vals[:4])
+    for b, c in tab(vals[4:]).items():
+        combined[b] = combined.get(b, 0) + c
+    assert combined == whole
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark):
+    """Estimates come within one bin width of the exact linear
+    quantiles, and tighten as bins grow."""
+    import numpy as np
+
+    from mimeograph_spark.functions.quantiles import histogram_quantiles
+
+    vals = [((i * 37) % 1000) / 10.0 for i in range(500)]  # 0..99.9
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    exact = {q: float(np.quantile(vals, q)) for q in (0.5, 0.9, 0.99)}
+    for bins in (10, 100):
+        width = 100.0 / bins
+        got = {
+            r["q"]: r["hist_est"]
+            for r in histogram_quantiles(
+                df, "x", 0.0, 100.0, bins=bins
+            ).collect()
+        }
+        for q, e in exact.items():
+            assert abs(got[q] - e) <= width + 1e-9, (bins, q, got[q], e)
+
+
+def test_histogram_quantiles_rejects_bad_range(spark):
+    from mimeograph_spark.functions.quantiles import histogram_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "x", 5.0, 5.0)
