@@ -30,6 +30,12 @@ def _duck(sql: str):
 
 
 def _norm_cell(v):
+    import numpy as np
+
+    # array cells (posting lists, signatures) -> tuples, so row
+    # comparison stays plain == instead of numpy elementwise
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, float):
