@@ -1307,6 +1307,20 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling with last-observation-carried-forward
+    (timeseries.resample_locf): 10-minute mean-value buckets per
+    event_type on a GENERATED dense grid (never shuffled out of the
+    data), LOCF via one ignore-nulls window per series.  Integer
+    epoch-second buckets — no calendar functions, DST-proof,
+    identical in DuckDB."""
+    from mimeograph_spark.functions.timeseries import resample_locf
+
+    return resample_locf(
+        _read(spark, sf_dir, "events"), bucket_secs=600
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1568,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "histogram_quantiles": q_histogram_quantiles,
+        "resample_locf": q_resample_locf,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1743,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantiles": sql_oracles.histogram_quantiles_sql(
             lo=0.0, hi=500.0, bins=128, qs=HIST_QS
         ),
+        "resample_locf": sql_oracles.resample_locf_sql(bucket_secs=600),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

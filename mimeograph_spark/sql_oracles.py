@@ -2985,3 +2985,37 @@ pick AS (
 ex AS (SELECT CAST(count(*) AS BIGINT) AS n, {ecols} FROM v)
 SELECT n, {hsel}, {esel}, {errs} FROM hrow, ex
 """
+
+
+def resample_locf_sql(bucket_secs: int = 600) -> str:
+    """Mirrors timeseries.resample_locf over events: integer
+    epoch-second buckets, generated dense grid, IGNORE NULLS window
+    carry-forward.  bucket_start round-trips through epoch seconds
+    (session TZ pinned UTC on the Spark side)."""
+    return f"""
+WITH obs AS (
+  SELECT event_type AS series,
+         CAST(floor(epoch(ts) / {bucket_secs}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         round(avg(CAST(value AS DOUBLE)), 6) AS value_avg
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(bucket) AS _lo, max(bucket) AS _hi FROM obs
+), grid AS (
+  SELECT series, unnest(range(_lo, _hi + 1)) AS bucket
+  FROM (SELECT DISTINCT series FROM obs), span
+), j AS (
+  SELECT g.series, g.bucket, obs.n_obs, obs.value_avg
+  FROM grid g LEFT JOIN obs USING (series, bucket)
+)
+SELECT series,
+       to_timestamp(bucket * {bucket_secs})::TIMESTAMP AS bucket_start,
+       coalesce(n_obs, 0) AS n_obs,
+       value_avg,
+       last_value(value_avg IGNORE NULLS) OVER (
+         PARTITION BY series ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       value_avg IS NULL AS is_gap
+FROM j
+"""

@@ -50,6 +50,7 @@ SCALAR_ATTACH_OK = {
     "incremental_dedup",  # 1-row id cutoff onto the old/new split
     "corpus_overlap",  # 1-row signatures/counts cross-attached
     "histogram_quantiles",  # |qs| x bins bounded non-equi mass walk
+    "resample_locf",  # 1-row bucket span onto the series list
     "bm25_topk",  # 1-row (N, avgdl) corpus stats onto the tf table
 }
 # per-query file-scan budgets where the default of 4 is wrong:

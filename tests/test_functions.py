@@ -1922,3 +1922,36 @@ def test_histogram_quantiles_rejects_bad_range(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         histogram_quantiles(df, "x", 5.0, 5.0)
+
+
+def test_resample_locf_gap_fill_and_leading_nulls(spark):
+    from datetime import datetime
+
+    from mimeograph_spark.functions.timeseries import resample_locf
+
+    t = lambda m: datetime(2024, 1, 1, 0, m, 0)
+    rows = [
+        # series A: buckets 0 and 3 observed; 1-2 are gaps
+        ("A", t(0), 10.0), ("A", t(1), 20.0), ("A", t(31), 40.0),
+        # series B: first observation in bucket 2 -> leading gaps
+        ("B", t(25), 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["series"], r["bucket_start"].minute): (
+            r["n_obs"], r["value_avg"], r["value_filled"], r["is_gap"]
+        )
+        for r in resample_locf(df, bucket_secs=600).collect()
+    }
+    # grid spans buckets 0..3 for BOTH series
+    assert len(got) == 8
+    assert got[("A", 0)] == (2, 15.0, 15.0, False)   # mean of 10, 20
+    assert got[("A", 10)] == (0, None, 15.0, True)   # carried forward
+    assert got[("A", 20)] == (0, None, 15.0, True)
+    assert got[("A", 30)] == (1, 40.0, 40.0, False)
+    assert got[("B", 0)] == (0, None, None, True)    # nothing to carry
+    assert got[("B", 10)] == (0, None, None, True)
+    assert got[("B", 20)] == (1, 7.0, 7.0, False)
+    assert got[("B", 30)] == (0, None, 7.0, True)
