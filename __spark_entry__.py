@@ -1321,6 +1321,22 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift metrics (drift.distribution_drift): KL both ways,
+    Jensen-Shannon, and total variation between the even/odd doc_id
+    halves' smoothed unigram distributions — the train/serve-skew
+    check.  Every log argument is a ratio of integers and the sums
+    run in integer micro-nats, so the FP-summation-order trap never
+    fires cross-engine."""
+    from mimeograph_spark.functions.drift import distribution_drift
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain curation profile with blocklist
     (functions/urls.domain_stats): doc/distinct-URL counts and
@@ -1583,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "histogram_quantiles": q_histogram_quantiles,
         "resample_locf": q_resample_locf,
+        "distribution_drift": q_distribution_drift,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1759,6 +1776,9 @@ def oracle_sql() -> dict[str, str]:
             lo=0.0, hi=500.0, bins=128, qs=HIST_QS
         ),
         "resample_locf": sql_oracles.resample_locf_sql(bucket_secs=600),
+        "distribution_drift": sql_oracles.distribution_drift_sql(
+            pred_a="doc_id % 2 = 0", pred_b="doc_id % 2 = 1"
+        ),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

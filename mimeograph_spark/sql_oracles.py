@@ -3019,3 +3019,62 @@ SELECT series,
        value_avg IS NULL AS is_gap
 FROM j
 """
+
+
+def distribution_drift_sql(
+    pred_a: str = "doc_id % 2 = 0",
+    pred_b: str = "doc_id % 2 = 1",
+) -> str:
+    """Mirrors drift.distribution_drift: identical add-one-smoothed
+    integer ratios inside every logarithm, identical micro-nat
+    rounding, integer weighted sums — only the final scalar divisions
+    are FP, rounded to 6."""
+    toks = (
+        r"SELECT unnest(list_filter(regexp_split_to_array("
+        r"trim(lower(text)), '\s+'), x -> x <> '')) AS term "
+        r"FROM documents WHERE "
+    )
+    return f"""
+WITH at AS ({toks}{pred_a}),
+bt AS ({toks}{pred_b}),
+cca AS (SELECT term, count(*) AS c FROM at GROUP BY 1),
+ccb AS (SELECT term, count(*) AS c FROM bt GROUP BY 1),
+joint AS (
+  SELECT term, coalesce(cca.c, 0) AS ca, coalesce(ccb.c, 0) AS cb
+  FROM cca FULL OUTER JOIN ccb USING (term)
+), tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM joint
+), st AS (
+  SELECT ca, cb, n_a, n_b, vocab,
+         n_a + vocab AS a2, n_b + vocab AS b2,
+         (ca + 1) * (n_b + vocab) AS pa,
+         (cb + 1) * (n_a + vocab) AS qa
+  FROM joint, tot
+), m AS (
+  SELECT *,
+         CAST(round(ln(pa / qa) * 1000000, 0) AS BIGINT) AS m_pq,
+         CAST(round(ln(2 * pa / (pa + qa)) * 1000000, 0) AS BIGINT)
+           AS m_pm,
+         CAST(round(ln(2 * qa / (pa + qa)) * 1000000, 0) AS BIGINT)
+           AS m_qm
+  FROM st
+), s AS (
+  SELECT n_a, n_b, vocab, a2, b2,
+         CAST(sum((ca + 1) * m_pq) AS BIGINT) AS s_ab,
+         CAST(sum((cb + 1) * (-m_pq)) AS BIGINT) AS s_ba,
+         CAST(sum((ca + 1) * m_pm) AS BIGINT) AS s_pm,
+         CAST(sum((cb + 1) * m_qm) AS BIGINT) AS s_qm,
+         CAST(sum(abs(pa - qa)) AS BIGINT) AS s_tv
+  FROM m GROUP BY 1, 2, 3, 4, 5
+)
+SELECT n_a, n_b, vocab,
+       round(s_ab / (a2 * 1000000.0), 6) AS kl_ab,
+       round(s_ba / (b2 * 1000000.0), 6) AS kl_ba,
+       round(0.5 * (s_pm / (a2 * 1000000.0)
+                    + s_qm / (b2 * 1000000.0)), 6) AS js,
+       round(s_tv / (2.0 * a2 * b2), 6) AS tv
+FROM s
+"""

@@ -51,6 +51,7 @@ SCALAR_ATTACH_OK = {
     "corpus_overlap",  # 1-row signatures/counts cross-attached
     "histogram_quantiles",  # |qs| x bins bounded non-equi mass walk
     "resample_locf",  # 1-row bucket span onto the series list
+    "distribution_drift",  # 1-row totals onto the joint vocab
     "bm25_topk",  # 1-row (N, avgdl) corpus stats onto the tf table
 }
 # per-query file-scan budgets where the default of 4 is wrong:

@@ -1955,3 +1955,64 @@ def test_resample_locf_gap_fill_and_leading_nulls(spark):
     assert got[("B", 10)] == (0, None, None, True)
     assert got[("B", 20)] == (1, 7.0, 7.0, False)
     assert got[("B", 30)] == (0, None, 7.0, True)
+
+
+def _drift_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_distribution_drift_zero_on_identical(spark):
+    from mimeograph_spark.functions.drift import distribution_drift
+
+    a = _drift_df(spark, ["alpha beta beta gamma", "delta alpha"])
+    row = distribution_drift(a, a).collect()[0]
+    assert row["kl_ab"] == 0.0 and row["kl_ba"] == 0.0
+    assert row["js"] == 0.0 and row["tv"] == 0.0
+    assert row["n_a"] == row["n_b"] == 6
+
+
+def test_distribution_drift_matches_python_mirror_and_symmetry(spark):
+    import math
+
+    from mimeograph_spark.functions.drift import distribution_drift
+
+    ta = ["cat cat dog fish", "cat bird"]
+    tb = ["dog dog dog snake", "snake snake fish"]
+    from collections import Counter
+    ca = Counter(w for t in ta for w in t.split())
+    cb = Counter(w for t in tb for w in t.split())
+    vocab = sorted(set(ca) | set(cb))
+    V, na, nb = len(vocab), sum(ca.values()), sum(cb.values())
+    A, B = na + V, nb + V
+
+    def r6(x):
+        return round(x, 6)
+
+    s_ab = s_ba = s_pm = s_qm = s_tv = 0
+    for w in vocab:
+        pa = (ca.get(w, 0) + 1) * B
+        qa = (cb.get(w, 0) + 1) * A
+        m_pq = round(math.log(pa / qa) * 1e6)
+        m_pm = round(math.log(2 * pa / (pa + qa)) * 1e6)
+        m_qm = round(math.log(2 * qa / (pa + qa)) * 1e6)
+        s_ab += (ca.get(w, 0) + 1) * m_pq
+        s_ba += (cb.get(w, 0) + 1) * (-m_pq)
+        s_pm += (ca.get(w, 0) + 1) * m_pm
+        s_qm += (cb.get(w, 0) + 1) * m_qm
+        s_tv += abs(pa - qa)
+
+    a, b = _drift_df(spark, ta), _drift_df(spark, tb)
+    row = distribution_drift(a, b).collect()[0]
+    assert row["vocab"] == V and row["n_a"] == na and row["n_b"] == nb
+    assert row["kl_ab"] == r6(s_ab / (A * 1e6))
+    assert row["kl_ba"] == r6(s_ba / (B * 1e6))
+    assert row["js"] == r6(0.5 * (s_pm / (A * 1e6) + s_qm / (B * 1e6)))
+    assert row["tv"] == r6(s_tv / (2.0 * A * B))
+    assert row["kl_ab"] > 0 and row["tv"] > 0
+
+    rev = distribution_drift(b, a).collect()[0]
+    assert rev["js"] == row["js"]           # JS is symmetric
+    assert rev["kl_ab"] == row["kl_ba"]     # KL swaps with arguments
+    assert rev["tv"] == row["tv"]
