@@ -1107,6 +1107,48 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5, damping=0.85)
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census (functions/linkgraph.triangle_stats)
+    over a planted md5 edge list: each doc contributes 4 random edges
+    between nodes hash(doc_id:j:u) % 400 and hash(doc_id:j:v) % 400,
+    so density grows with SF and triangles provably exist.  The
+    engine counts via degree-ordered wedge orientation (each triangle
+    found exactly once at its lowest-rank corner); the oracle counts
+    the same canonical edge set with the textbook u<v<w three-way
+    join — agreement across the two algorithms is the check.  All
+    counts are integers; only the clustering coefficient is FP,
+    rounded to 6."""
+    from mimeograph_spark.functions.linkgraph import triangle_stats
+
+    def _node(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("doc_id"), F.col("j"), F.lit(tag)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 400
+        )
+
+    edges = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array([F.lit(j) for j in range(4)])).alias("j"),
+        )
+        .select(_node("u").alias("src"), _node("v").alias("dst"))
+    )
+    return triangle_stats(edges)
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
@@ -1600,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "resample_locf": q_resample_locf,
         "distribution_drift": q_distribution_drift,
+        "triangle_stats": q_triangle_stats,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1779,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": sql_oracles.distribution_drift_sql(
             pred_a="doc_id % 2 = 0", pred_b="doc_id % 2 = 1"
         ),
+        "triangle_stats": sql_oracles.TRIANGLE_STATS_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

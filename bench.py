@@ -179,6 +179,8 @@ HEADLINE_QUERIES = (
     "domain_stats", "chunk_documents", "check_constraints",
     "incremental_dedup", "pagerank", "inverted_postings", "bm25_topk",
     "cms_term_counts", "bloom_decontaminate", "corpus_overlap",
+    "funnel_steps", "retention_cohorts", "histogram_quantiles",
+    "resample_locf", "distribution_drift", "triangle_stats",
 )
 
 

@@ -2653,6 +2653,43 @@ def pagerank_sql(
     )
 
 
+TRIANGLE_STATS_ORACLE = r"""
+WITH raw AS (
+  SELECT ('0x' || substr(md5(doc_id || ':' || j || ':u'), 1, 8))::BIGINT
+           % 400 AS src,
+         ('0x' || substr(md5(doc_id || ':' || j || ':v'), 1, 8))::BIGINT
+           % 400 AS dst
+  FROM documents, (SELECT unnest(range(4)) AS j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), deg AS (
+  SELECT x, count(*) AS deg FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY x
+), tri AS (
+  -- textbook u<v<w three-way join: deliberately a DIFFERENT
+  -- algorithm from the engine's degree-ordered wedge orientation,
+  -- so matching counts cross-check the orientation logic.
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+), scal AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und
+)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3e0 * n_triangles / n_wedges
+                  ELSE 0e0 END, 6) AS clustering
+FROM scal, ne, tri
+"""
+
+
 INVERTED_POSTINGS_ORACLE = r"""
 WITH pairs AS (
   SELECT DISTINCT doc_id, term FROM (

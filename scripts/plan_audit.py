@@ -53,6 +53,7 @@ SCALAR_ATTACH_OK = {
     "resample_locf",  # 1-row bucket span onto the series list
     "distribution_drift",  # 1-row totals onto the joint vocab
     "bm25_topk",  # 1-row (N, avgdl) corpus stats onto the tf table
+    "triangle_stats",  # three 1-row census scalars cross-attached
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /

@@ -1484,6 +1484,68 @@ def test_pagerank_rejects_zero_iterations(spark):
         pagerank(df, iterations=0)
 
 
+def test_triangle_stats_known_graph(spark):
+    # K4 on {1..4} (4 triangles) + pendant edge 4-5 + isolated edge
+    # 6-7; reversed duplicates, a self-loop, and an exact duplicate
+    # must all collapse before counting.
+    from mimeograph_spark.functions.linkgraph import triangle_stats
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (6, 7),
+        (2, 1), (3, 3), (1, 2),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert row["n_vertices"] == 7
+    assert row["n_edges"] == 8
+    # degrees: 3,3,3,4,1,1,1 -> wedges 3+3+3+6 = 15
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert row["clustering"] == round(12 / 15, 6)
+
+
+def test_triangle_stats_wedge_only_graph(spark):
+    # star graph: wedges but zero triangles -> clustering 0.0
+    from mimeograph_spark.functions.linkgraph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 10
+    assert row["clustering"] == 0.0
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    # random-ish planted graph vs an itertools brute force
+    import itertools
+
+    from mimeograph_spark.functions.linkgraph import triangle_stats
+
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    edges = [
+        (h(f"{i}:u") % 30, h(f"{i}:v") % 30) for i in range(120)
+    ]
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    verts = {x for e in canon for x in e}
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(verts), 3)
+        if (a, b) in canon and (a, c) in canon and (b, c) in canon
+    )
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(canon)
+    assert row["n_vertices"] == len(verts)
+
+
 # ------------------------------------------------------------------ search
 
 
