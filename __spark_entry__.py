@@ -1149,6 +1149,71 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier scoring
+    (functions/similarity.embedding_outliers) over the embeddings
+    table: per vector, its L2 distance to the corpus mean vector, the
+    z-score of that distance, and an is_outlier flag at |z| >= 2.
+    Single persisted scan feeding three passes; mean vector and
+    (mu, sigma) ride broadcast 1-row crossJoins.  Both engines fold
+    the distance in index order and round dist/mu/sigma before the z
+    ratio, so values hash-match exactly."""
+    from mimeograph_spark.functions.similarity import embedding_outliers
+
+    return embedding_outliers(
+        _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+BLOCKLIST_PHRASES = (
+    "batch batch batch",
+    "hash scan",
+    "slow join",
+    "vector",
+    "merge slow part",
+)
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist scrub (functions/blocklist.blocklist_filter,
+    scan mode): per doc the sorted blocklist phrases it contains as a
+    token-boundary sequence, their count, and keep = clean.  The
+    phrase list embeds as an array literal, so the plan is one narrow
+    scan with zero shuffles — the 100 TB shape for bounded policy
+    lists; mode="join" (token-anchor broadcast join) covers huge
+    lists and is pinned equal by test."""
+    from mimeograph_spark.functions.blocklist import blocklist_filter
+
+    return blocklist_filter(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        list(BLOCKLIST_PHRASES),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (functions/diffing.snapshot_diff) between
+    two deterministic views of the documents table: the 'old'
+    snapshot drops doc_id % 7 == 0, the 'new' snapshot drops
+    doc_id % 5 == 0 and edits the text of doc_id % 11 == 0 — so
+    added, removed, AND changed statuses all provably occur.  Each
+    side reduces to (key, md5 row hash) before the single full-outer
+    equi-join; unchanged rows never leave the executors."""
+    from mimeograph_spark.functions.diffing import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" edited")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(
+        old, new, ["doc_id"], ["text", "lang", "source", "n_chars"]
+    )
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
@@ -1643,6 +1708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "distribution_drift": q_distribution_drift,
         "triangle_stats": q_triangle_stats,
+        "embedding_outliers": q_embedding_outliers,
+        "blocklist_filter": q_blocklist_filter,
+        "snapshot_diff": q_snapshot_diff,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1823,6 +1891,9 @@ def oracle_sql() -> dict[str, str]:
             pred_a="doc_id % 2 = 0", pred_b="doc_id % 2 = 1"
         ),
         "triangle_stats": sql_oracles.TRIANGLE_STATS_ORACLE,
+        "embedding_outliers": sql_oracles.EMBEDDING_OUTLIERS_ORACLE,
+        "blocklist_filter": sql_oracles.blocklist_filter_sql(BLOCKLIST_PHRASES),
+        "snapshot_diff": sql_oracles.SNAPSHOT_DIFF_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

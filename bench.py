@@ -181,6 +181,7 @@ HEADLINE_QUERIES = (
     "cms_term_counts", "bloom_decontaminate", "corpus_overlap",
     "funnel_steps", "retention_cohorts", "histogram_quantiles",
     "resample_locf", "distribution_drift", "triangle_stats",
+    "embedding_outliers", "blocklist_filter", "snapshot_diff",
 )
 
 

@@ -702,3 +702,86 @@ def semantic_dedup(
         )
     )
     return register_persisted(out, base, assigned)
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Centroid-distance outlier scoring — the embedding-space twin of
+    the Gopher-style text quality rules: per row, the L2 distance to
+    the corpus mean vector, its z-score against the corpus distance
+    distribution, and an `is_outlier` flag at `z_threshold`.
+
+    Plan shape: the narrow (id, vec) frame is persisted and feeds all
+    three passes — the dim-sized mean-vector aggregation, the per-row
+    distance map, and the 1-row (mu, sigma) aggregation — so the
+    source is scanned once; the mean vector and the stats attach as
+    broadcast 1-row crossJoins (never a collect).  FP determinism:
+    mean components round to 6 before any distance math, the distance
+    folds the array IN INDEX ORDER (zip_with + sequential aggregate —
+    bit-identical to the oracle's list_transform + list_sum), and
+    dist/mu/sigma are each rounded before the z ratio, so the final
+    round(z, 4) sees identical doubles on both engines."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mvec = (
+        base.select(F.posexplode("vec").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("s")
+        )
+        .select(
+            F.transform(F.col("s"), lambda p: p["m"]).alias("mvec")
+        )
+    )
+    dists = (
+        base.crossJoin(F.broadcast(mvec))
+        .select(
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"),
+                            F.col("mvec"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+        # narrow (id, double) frame with two consumers (stats + out):
+        # persist so the distance map runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = dists.agg(
+        F.round(F.avg("dist"), 6).alias("mu"),
+        F.round(F.stddev_pop("dist"), 6).alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        F.round((F.col("dist") - F.col("mu")) / F.col("sigma"), 4),
+    ).otherwise(F.lit(0.0))
+    out = (
+        dists.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "dist",
+            z.alias("z"),
+            (F.abs(z) >= F.lit(float(z_threshold))).alias("is_outlier"),
+        )
+    )
+    return register_persisted(out, base, dists)

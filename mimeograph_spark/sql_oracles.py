@@ -2653,6 +2653,102 @@ def pagerank_sql(
     )
 
 
+SNAPSHOT_DIFF_ORACLE = r"""
+WITH oldsnap AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+           coalesce(text, chr(0) || '<NULL>'),
+           coalesce(lang, chr(0) || '<NULL>'),
+           coalesce(source, chr(0) || '<NULL>'),
+           coalesce(n_chars::VARCHAR, chr(0) || '<NULL>'))) AS oh
+  FROM documents WHERE doc_id % 7 <> 0
+), newsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 5 <> 0
+), newsnap AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+           coalesce(text, chr(0) || '<NULL>'),
+           coalesce(lang, chr(0) || '<NULL>'),
+           coalesce(source, chr(0) || '<NULL>'),
+           coalesce(n_chars::VARCHAR, chr(0) || '<NULL>'))) AS nh
+  FROM newsrc
+), j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, oh, nh
+  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CASE WHEN oh IS NULL THEN 'added'
+            WHEN nh IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+"""
+
+
+def blocklist_filter_sql(phrases: tuple[str, ...]) -> str:
+    """Mirrors blocklist.blocklist_filter (scan mode): single-space
+    normalized, space-padded lowercase text; a phrase matches as a
+    token-boundary-delimited sequence via padded contains()."""
+    norm = sorted({" ".join(p.lower().split()) for p in phrases})
+    lst = ", ".join("'" + p.replace("'", "''") + "'" for p in norm)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+           || ' ' AS norm
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_sort(list_filter(
+           [{lst}],
+           ph -> contains(norm, ' ' || ph || ' ')
+         )) AS matched
+  FROM base
+)
+SELECT doc_id, matched,
+       CAST(len(matched) AS BIGINT) AS n_matches,
+       len(matched) = 0 AS keep
+FROM m
+"""
+
+
+EMBEDDING_OUTLIERS_ORACLE = r"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), comp AS (
+  SELECT unnest(vec) AS x, generate_subscripts(vec, 1) AS pos FROM base
+), m AS (
+  SELECT pos, round(avg(x), 6) AS m FROM comp GROUP BY pos
+), mv AS (
+  SELECT list(m ORDER BY pos) AS mvec FROM m
+), d AS (
+  -- list_transform + list_sum folds IN INDEX ORDER, bit-identical to
+  -- the Spark side's zip_with + sequential aggregate
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(
+           list_zip(vec, mvec),
+           p -> (p[1] - p[2]) * (p[1] - p[2])
+         ))), 6) AS dist
+  FROM base, mv
+), s AS (
+  SELECT round(avg(dist), 6) AS mu,
+         round(stddev_pop(dist), 6) AS sigma
+  FROM d
+)
+SELECT vec_id, dist,
+       CASE WHEN sigma > 0
+            THEN round((dist - mu) / sigma, 4) ELSE 0e0 END AS z,
+       abs(CASE WHEN sigma > 0
+                THEN round((dist - mu) / sigma, 4) ELSE 0e0 END)
+         >= 2e0 AS is_outlier
+FROM d, s
+"""
+
+
 TRIANGLE_STATS_ORACLE = r"""
 WITH raw AS (
   SELECT ('0x' || substr(md5(doc_id || ':' || j || ':u'), 1, 8))::BIGINT

@@ -54,6 +54,7 @@ SCALAR_ATTACH_OK = {
     "distribution_drift",  # 1-row totals onto the joint vocab
     "bm25_topk",  # 1-row (N, avgdl) corpus stats onto the tf table
     "triangle_stats",  # three 1-row census scalars cross-attached
+    "embedding_outliers",  # 1-row mean-vector + (mu, sigma) attaches
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /

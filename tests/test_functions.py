@@ -2078,3 +2078,147 @@ def test_distribution_drift_matches_python_mirror_and_symmetry(spark):
     assert rev["js"] == row["js"]           # JS is symmetric
     assert rev["kl_ab"] == row["kl_ba"]     # KL swaps with arguments
     assert rev["tv"] == row["tv"]
+
+
+# ---------------------------------------------------------- blocklist
+
+
+def test_blocklist_scan_and_join_modes_agree(spark):
+    from mimeograph_spark.functions.blocklist import blocklist_filter
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "a QUICK   brown\tfox jumps"),  # case + whitespace runs
+        (3, "quickbrown fox"),  # no token-boundary match
+        (4, ""),  # empty text
+        (5, "brown fox quick brown fox"),
+        (6, "class act"),  # 'ass' must NOT match inside 'class'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = ["quick brown", "fox jumps", "ass", "brown fox quick"]
+    scan = {
+        r["doc_id"]: (tuple(r["matched"]), r["n_matches"], r["keep"])
+        for r in blocklist_filter(df, phrases, mode="scan").collect()
+    }
+    join = {
+        r["doc_id"]: (tuple(r["matched"]), r["n_matches"], r["keep"])
+        for r in blocklist_filter(df, phrases, mode="join").collect()
+    }
+    assert scan == join
+    assert scan[1] == (("quick brown",), 1, False)
+    assert scan[2] == (("fox jumps", "quick brown"), 2, False)
+    assert scan[3] == ((), 0, True)
+    assert scan[4] == ((), 0, True)
+    assert scan[5] == (("brown fox quick", "quick brown"), 2, False)
+    assert scan[6] == ((), 0, True)
+
+
+def test_blocklist_rejects_empty_and_bad_mode(spark):
+    from mimeograph_spark.functions.blocklist import blocklist_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_filter(df, [])
+    with pytest.raises(ValueError):
+        blocklist_filter(df, ["x"], mode="nope")
+
+
+# ------------------------------------------------------------ diffing
+
+
+def test_snapshot_diff_statuses(spark):
+    from mimeograph_spark.functions.diffing import (
+        diff_summary,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, t string, n long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "d", 41), (5, "e", 50)],
+        "k long, t string, n long",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    summary = {
+        r["status"]: r["n"]
+        for r in diff_summary(old, new, ["k"]).collect()
+    }
+    assert summary == {
+        "removed": 1, "changed": 2, "added": 1, "unchanged": 1,
+    }
+
+
+def test_snapshot_diff_null_safe_hash(spark):
+    # ('a', NULL) vs (NULL, 'a') and ('a','') vs ('a',NULL) must all
+    # register as changed — the sentinel + separator prevents
+    # concat-collapse collisions.
+    from mimeograph_spark.functions.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a", "")], "k long, x string, y string"
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, "a", None)], "k long, x string, y string"
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_requires_keys_and_columns(spark):
+    from mimeograph_spark.functions.diffing import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k long, t string")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, ["k", "t"])
+
+
+# ------------------------------------------------- embedding outliers
+
+
+def test_embedding_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from mimeograph_spark.functions.similarity import embedding_outliers
+
+    rng = [
+        [((i * 7 + j * 3) % 11) / 11.0 for j in range(4)]
+        for i in range(40)
+    ]
+    rng.append([25.0, 25.0, 25.0, 25.0])  # planted far outlier
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in embedding_outliers(df).collect()}
+    arr = np.array(rng)
+    m = np.round(arr.mean(axis=0), 6)
+    dist = np.round(np.sqrt(((arr - m) ** 2).sum(axis=1)), 6)
+    mu, sigma = np.round(dist.mean(), 6), np.round(dist.std(), 6)
+    z = np.round((dist - mu) / sigma, 4)
+    for i in range(len(rng)):
+        assert got[i]["dist"] == pytest.approx(dist[i], abs=2e-6)
+        assert got[i]["z"] == pytest.approx(z[i], abs=2e-4)
+    assert got[40]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_embedding_outliers_zero_variance(spark):
+    from mimeograph_spark.functions.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_outliers(df).collect()
+    assert all(r["z"] == 0.0 and not r["is_outlier"] for r in rows)
