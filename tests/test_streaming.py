@@ -4,6 +4,7 @@ worker pool, recast as Structured Streaming + manifest anti-join).
 """
 
 import pyspark.sql.functions as F
+import pytest
 
 from mimeograph_spark.corpus import corpus_df, generate_rows
 from mimeograph_spark.oracle import expected_results
@@ -663,3 +664,79 @@ def test_cms_process_batch_redelivery_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert both == expect
+
+
+def test_transform_with_state_gated_without_protobuf(spark, tmp_path):
+    """Where google.protobuf is absent (this sandbox), the TWS twin
+    must fail fast with a clear RuntimeError, not a mid-query worker
+    crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present; the full twin test runs instead")
+    except ImportError:
+        pass
+    from mimeograph_spark.streaming.twstate import running_user_totals_tws
+
+    with pytest.raises(RuntimeError, match="protobuf"):
+        running_user_totals_tws(
+            spark, str(tmp_path / "i"), str(tmp_path / "o"),
+            str(tmp_path / "c"),
+        )
+
+
+def test_transform_with_state_twin_matches_apply_in_pandas(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: same running-totals
+    contract as applyInPandasWithState, checked across a restart —
+    and the two implementations' outputs must be row-identical.
+    Runs only where the TWS protobuf dependency exists (real cluster
+    images); the sandbox gate has its own test above."""
+    pytest.importorskip("google.protobuf")
+    from mimeograph_spark.streaming.stateful import running_user_totals
+    from mimeograph_spark.streaming.twstate import running_user_totals_tws
+
+    dirs = {}
+    for impl in ("old", "tws"):
+        dirs[impl] = {
+            k: str(tmp_path / f"{impl}_{k}")
+            for k in ("in", "out", "ckpt")
+        }
+
+    def arrive(impl, rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(dirs[impl]["in"])
+
+    def run(impl):
+        fn = (
+            running_user_totals
+            if impl == "old"
+            else running_user_totals_tws
+        )
+        q = fn(
+            spark, dirs[impl]["in"], dirs[impl]["out"], dirs[impl]["ckpt"]
+        )
+        q.awaitTermination(120)
+
+    batches = [
+        [(1, 7, 1.0), (2, 7, 2.0), (3, 9, 5.0)],
+        [(4, 7, 10.0), (5, 9, 0.5)],
+    ]
+    for impl in ("old", "tws"):
+        for b in batches:
+            arrive(impl, b)
+            run(impl)
+
+    def collect(impl):
+        return sorted(
+            (
+                r["user_id"],
+                r["batch_events"],
+                r["total_events"],
+                r["total_value"],
+            )
+            for r in spark.read.parquet(dirs[impl]["out"]).collect()
+        )
+
+    got_old, got_tws = collect("old"), collect("tws")
+    assert got_old == got_tws
+    assert (7, 1, 3, 13.0) in got_tws  # state continued across restart
