@@ -1214,6 +1214,42 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report
+    (functions/composition.source_concentration): per-source doc and
+    char shares, Lorenz cumulative share, and a doc-level Gini of
+    document size computed with the two-phase rank (no global-window
+    single task).  All moments integer; the only FP is the final
+    ratios, rounded identically on both engines."""
+    from mimeograph_spark.functions.composition import (
+        source_concentration,
+    )
+
+    return source_concentration(
+        _read(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+    )
+
+
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM score
+    (functions/textstats.trigram_backoff_logprob): counts come from
+    the even-doc_id train half, all docs are scored — so held-out
+    docs hit genuinely unseen trigrams and exercise the full backoff
+    chain (trigram -> alpha*bigram -> alpha^2*Laplace unigram floor).
+    Integer micro-nat rounding before the per-doc sum keeps both
+    engines hash-identical."""
+    from mimeograph_spark.functions.textstats import (
+        trigram_backoff_logprob,
+    )
+
+    return trigram_backoff_logprob(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        train_filter=F.col("doc_id") % 2 == 0,
+    )
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
@@ -1711,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "blocklist_filter": q_blocklist_filter,
         "snapshot_diff": q_snapshot_diff,
+        "source_concentration": q_source_concentration,
+        "trigram_logprob": q_trigram_logprob,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1894,6 +1932,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": sql_oracles.EMBEDDING_OUTLIERS_ORACLE,
         "blocklist_filter": sql_oracles.blocklist_filter_sql(BLOCKLIST_PHRASES),
         "snapshot_diff": sql_oracles.SNAPSHOT_DIFF_ORACLE,
+        "source_concentration": sql_oracles.SOURCE_CONCENTRATION_ORACLE,
+        "trigram_logprob": sql_oracles.trigram_backoff_sql(),
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

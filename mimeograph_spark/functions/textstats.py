@@ -557,3 +557,206 @@ def bigram_logprob(
         )
     )
     return register_persisted(out, base)
+
+
+def trigram_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    train_filter=None,
+) -> DataFrame:
+    """Stupid-backoff trigram LM score (Brants et al. 2007): per doc
+    the mean log-score of each trigram under
+
+        S(w3|w1 w2) = c123/c12                   if the trigram is seen
+                    = alpha * c23/c2             else if the bigram is
+                    = alpha^2 * (c3+1)/(T+V)     else (Laplace unigram
+                                                  floor; OOV-safe)
+
+    with counts from the `train_filter` subset (None = whole corpus).
+    Scoring held-out docs against a train split exercises the backoff
+    chain on genuinely unseen n-grams — on its own training counts a
+    corpus never backs off.
+
+    Scale shape mirrors `bigram_logprob`: one persisted token-array
+    scan feeds the train count tables and the eval trigram stream;
+    the unigram vocab (Heaps-sublinear) broadcasts, the bigram and
+    trigram count tables join shuffled on their keys (they outgrow
+    any broadcast budget), and scoring touches each DISTINCT trigram
+    once before the per-doc join.  Cross-engine exactness: per-trigram
+    ln() rounds to integer micro-nats before the per-doc integer sum.
+    Output: (doc_id, n_trigrams, sum_micro, mean_logprob)."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    t = F.trim(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.when(F.length(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(t, r"\s+"))
+        .alias("_tk"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    train = base.filter(train_filter) if train_filter is not None else base
+
+    def trigrams(frame, with_id):
+        sz = F.size(F.col("_tk"))
+        pair = F.zip_with(
+            F.slice(F.col("_tk"), 1, sz - 2),
+            F.slice(F.col("_tk"), 2, sz - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        tri = F.zip_with(
+            pair,
+            F.slice(F.col("_tk"), 3, sz - 2),
+            lambda s, c: F.struct(
+                s["w1"].alias("w1"), s["w2"].alias("w2"), c.alias("w3")
+            ),
+        )
+        empty = F.array().cast(
+            "array<struct<w1:string,w2:string,w3:string>>"
+        )
+        cols = [F.col(id_col)] if with_id else []
+        ex = F.explode_outer if with_id else F.explode
+        return frame.select(
+            *cols,
+            ex(F.when(sz >= 3, tri).otherwise(empty)).alias("_tg"),
+        ).select(
+            *([id_col] if with_id else []),
+            F.col("_tg.w1").alias("w1"),
+            F.col("_tg.w2").alias("w2"),
+            F.col("_tg.w3").alias("w3"),
+        )
+
+    uni = (
+        train.select(F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    totals = uni.agg(
+        F.sum("_c1").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_vsz"),
+    )
+    bi = (
+        train.select(
+            F.explode(
+                F.when(
+                    F.size("_tk") >= 2,
+                    F.zip_with(
+                        F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                        F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("w1"), b.alias("w2")
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    tri_counts = (
+        trigrams(train, with_id=False)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+
+    ev = trigrams(base, with_id=True)
+    distinct_tg = ev.filter(F.col("w1").isNotNull()).select(
+        "w1", "w2", "w3"
+    ).distinct()
+    a = float(alpha)
+    scored = (
+        distinct_tg.join(tri_counts, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(
+                F.col("w1"), F.col("w2"), F.col("_cb").alias("_c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_cb").alias("_c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("term").alias("w2"), F.col("_c1").alias("_c2")
+                )
+            ),
+            "w2",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("term").alias("w3"), F.col("_c1").alias("_c3")
+                )
+            ),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.round(
+                F.when(
+                    F.col("_ct").isNotNull(),
+                    F.log(F.col("_ct") / F.col("_c12")),
+                )
+                .when(
+                    F.col("_c23").isNotNull(),
+                    F.log(F.lit(a) * (F.col("_c23") / F.col("_c2"))),
+                )
+                .otherwise(
+                    F.log(
+                        F.lit(a * a)
+                        * (
+                            (F.coalesce(F.col("_c3"), F.lit(0)) + 1)
+                            / (F.col("_tot") + F.col("_vsz"))
+                        )
+                    )
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("_lp_micro"),
+        )
+    )
+    out = (
+        ev.join(scored, ["w1", "w2", "w3"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_trigrams"),
+            F.coalesce(F.sum("_lp_micro"), F.lit(0))
+            .cast("long")
+            .alias("sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sum_micro",
+            F.round(
+                F.when(
+                    F.col("n_trigrams") > 0,
+                    F.col("sum_micro")
+                    / (F.col("n_trigrams") * F.lit(1000000.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+    return register_persisted(out, base)

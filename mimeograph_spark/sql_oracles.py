@@ -2653,6 +2653,104 @@ def pagerank_sql(
     )
 
 
+def trigram_backoff_sql(alpha: float = 0.4) -> str:
+    """Mirrors textstats.trigram_backoff_logprob with train = even
+    doc_ids: identical tokenize, identical count tables, the same
+    left-to-right double arithmetic (alpha and alpha^2 emitted as
+    repr() of the Python doubles the Spark literals carry), ln()
+    rounded to integer micro-nats per DISTINCT trigram before the
+    per-doc integer sum."""
+    a = repr(float(alpha))
+    a2 = repr(float(alpha) * float(alpha))
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+         END AS tk
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT term, count(*) AS c1
+  FROM (SELECT unnest(tk) AS term FROM train) GROUP BY term
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+  FROM uni
+), bi AS (
+  SELECT w1, w2, count(*) AS cb FROM (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2
+    FROM train, unnest(range(1, len(tk))) AS u(i)
+  ) GROUP BY w1, w2
+), tric AS (
+  SELECT w1, w2, w3, count(*) AS ct FROM (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+    FROM train, unnest(range(1, len(tk) - 1)) AS u(i)
+  ) GROUP BY w1, w2, w3
+), trev AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+  FROM base, unnest(range(1, len(tk) - 1)) AS u(i)
+), dtg AS (
+  SELECT DISTINCT w1, w2, w3 FROM trev
+), scored AS (
+  SELECT d.w1, d.w2, d.w3,
+         CAST(round(CASE
+           WHEN tc.ct IS NOT NULL THEN ln(tc.ct / b12.cb)
+           WHEN b23.cb IS NOT NULL THEN ln({a} * (b23.cb / u2.c1))
+           ELSE ln({a2} * ((coalesce(u3.c1, 0) + 1) / (tot.t + tot.v)))
+         END * 1000000, 0) AS BIGINT) AS lp
+  FROM dtg d
+  LEFT JOIN tric tc ON tc.w1 = d.w1 AND tc.w2 = d.w2 AND tc.w3 = d.w3
+  LEFT JOIN bi b12 ON b12.w1 = d.w1 AND b12.w2 = d.w2
+  LEFT JOIN bi b23 ON b23.w1 = d.w2 AND b23.w2 = d.w3
+  LEFT JOIN uni u2 ON u2.term = d.w2
+  LEFT JOIN uni u3 ON u3.term = d.w3
+  CROSS JOIN tot
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS cnt, sum(s.lp) AS sm
+  FROM trev t
+  JOIN scored s ON s.w1 = t.w1 AND s.w2 = t.w2 AND s.w3 = t.w3
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(p.cnt, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(p.sm, 0) AS BIGINT) AS sum_micro,
+       round(CASE WHEN coalesce(p.cnt, 0) > 0
+                  THEN p.sm / (p.cnt * 1000000e0)
+                  ELSE 0e0 END, 6) AS mean_logprob
+FROM (SELECT doc_id FROM base) b
+LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+"""
+
+
+SOURCE_CONCENTRATION_ORACLE = r"""
+WITH base AS (
+  SELECT source, n_chars::BIGINT AS w, doc_id FROM documents
+), per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS weight
+  FROM base GROUP BY source
+), ranked AS (
+  SELECT w, row_number() OVER (ORDER BY w, doc_id) AS i FROM base
+), g AS (
+  SELECT round(2e0 * sum(i * w) / (count(*) * sum(w))
+               - (count(*) + 1e0) / count(*), 6) AS gini
+  FROM ranked
+), t AS (
+  SELECT sum(weight) AS tot FROM per_source
+)
+SELECT source, n_docs, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, source) AS BIGINT)
+         AS rank,
+       round(weight / tot, 6) AS share,
+       round(sum(weight) OVER (ORDER BY weight DESC, source
+                               ROWS UNBOUNDED PRECEDING) / tot, 6)
+         AS cum_share,
+       gini
+FROM per_source, g, t
+"""
+
+
 SNAPSHOT_DIFF_ORACLE = r"""
 WITH oldsnap AS (
   SELECT doc_id,

@@ -55,6 +55,8 @@ SCALAR_ATTACH_OK = {
     "bm25_topk",  # 1-row (N, avgdl) corpus stats onto the tf table
     "triangle_stats",  # three 1-row census scalars cross-attached
     "embedding_outliers",  # 1-row mean-vector + (mu, sigma) attaches
+    "source_concentration",  # 1-row gini + total-weight attaches
+    "trigram_logprob",  # 1-row (T, V) train totals onto the trigrams
 }
 # per-query file-scan budgets where the default of 4 is wrong:
 # multi-table star joins scan each base table once; the dedup /

@@ -2222,3 +2222,122 @@ def test_embedding_outliers_zero_variance(spark):
     )
     rows = embedding_outliers(df).collect()
     assert all(r["z"] == 0.0 and not r["is_outlier"] for r in rows)
+
+
+# -------------------------------------------------------- composition
+
+
+def test_source_concentration_matches_python(spark):
+    from mimeograph_spark.functions.composition import (
+        source_concentration,
+    )
+
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "b", 10),
+        (4, "b", 10), (5, "c", 40), (6, "c", 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r["source"]: r for r in source_concentration(df).collect()}
+    # shares: a=40/140, b=20/140, c=80/140; rank by weight desc
+    assert got["c"]["rank"] == 1 and got["a"]["rank"] == 2
+    assert got["c"]["share"] == round(80 / 140, 6)
+    assert got["c"]["cum_share"] == round(80 / 140, 6)
+    assert got["a"]["cum_share"] == round(120 / 140, 6)
+    assert got["b"]["cum_share"] == 1.0
+    # doc-level Gini: ranks over sorted weights [10,10,10,30,40,40]
+    w = sorted([10, 30, 10, 10, 40, 40])
+    n, sw = len(w), sum(w)
+    siw = sum((i + 1) * x for i, x in enumerate(w))
+    exp = round(2.0 * siw / (n * sw) - (n + 1.0) / n, 6)
+    assert got["a"]["gini"] == exp
+    assert all(r["gini"] == exp for r in got.values())
+
+
+def test_source_concentration_uniform_gini_zero(spark):
+    from mimeograph_spark.functions.composition import (
+        source_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 7) for i in range(30)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = source_concentration(df).collect()
+    # equal weights -> Gini exactly 0 under the rank formula
+    assert all(abs(r["gini"]) < 1e-9 for r in rows)
+
+
+# ----------------------------------------------------- trigram backoff
+
+
+def _py_stupid_backoff(docs, train_ids, alpha=0.4):
+    """Straight-line mirror of textstats.trigram_backoff_logprob."""
+    import math
+
+    def toks(t):
+        t = t.strip().lower()
+        return t.split() if t else []
+
+    uni, bi, tri = {}, {}, {}
+    for did, text in docs:
+        if did not in train_ids:
+            continue
+        tk = toks(text)
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for x in zip(tk, tk[1:]):
+            bi[x] = bi.get(x, 0) + 1
+        for x in zip(tk, tk[1:], tk[2:]):
+            tri[x] = tri.get(x, 0) + 1
+    T, V = sum(uni.values()), len(uni)
+    out = {}
+    for did, text in docs:
+        tk = toks(text)
+        tgs = list(zip(tk, tk[1:], tk[2:]))
+        sm = 0
+        for g in tgs:
+            w1, w2, w3 = g
+            if g in tri:
+                s = math.log(tri[g] / bi[(w1, w2)])
+            elif (w2, w3) in bi:
+                s = math.log(alpha * (bi[(w2, w3)] / uni[w2]))
+            else:
+                s = math.log(
+                    alpha * alpha * ((uni.get(w3, 0) + 1) / (T + V))
+                )
+            sm += int(round(s * 1e6))
+        mean = round(sm / (len(tgs) * 1e6), 6) if tgs else 0.0
+        out[did] = (len(tgs), sm, mean)
+    return out
+
+
+def test_trigram_backoff_exercises_all_branches(spark):
+    from mimeograph_spark.functions.textstats import (
+        trigram_backoff_logprob,
+    )
+
+    docs = [
+        (0, "a b c a b c d"),          # train
+        (2, "b c d b c"),              # train
+        (1, "a b c x y z"),            # eval: seen tri, unseen w/ bi+uni
+        (3, "q q q"),                  # eval: fully OOV -> unigram floor
+        (5, "xy"),                     # eval: too short -> 0 trigrams
+        (7, ""),                       # eval: empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"], r["sum_micro"], r["mean_logprob"]
+        )
+        for r in trigram_backoff_logprob(
+            df, train_filter=F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    exp = _py_stupid_backoff(docs, {0, 2})
+    # integers must match exactly; the mean differs only where Python's
+    # banker's rounding and Spark's HALF_UP disagree on a .5 boundary
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][:2] == exp[k][:2], k
+        assert abs(got[k][2] - exp[k][2]) <= 1.01e-6, k
+    assert got[5] == (0, 0, 0.0) and got[7] == (0, 0, 0.0)
