@@ -75,3 +75,38 @@ def run_resumable_with_lineage(
         meta={"run_id": run_id, "results_snapshot": snap["id"]},
     )
     return snap
+
+
+def observe_results(results: DataFrame, name: str = "extract_metrics"):
+    """Attach a Spark `Observation` to a RESULT_SCHEMA frame: the same
+    doc/span/error/failed counters as `lineage_rows`, but collected
+    AS A SIDE EFFECT of whatever action the caller already runs — zero
+    extra jobs, zero extra scans (lineage_rows costs one more
+    aggregation pass; an Observation rides the existing one).  Returns
+    (observed_df, observation); read `observation.get` after the first
+    action completes.
+
+    This is the in-flight half of the reference's job bookkeeping
+    (mimeograph.coffee:507-678 updates Redis counters while the job
+    runs); the persisted half stays `lineage_rows` -> CheckpointTable.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = results.observe(
+        obs,
+        F.count(F.lit(1)).alias("doc_count"),
+        F.coalesce(F.sum(F.size("spans_out")), F.lit(0))
+        .cast("long")
+        .alias("span_count"),
+        F.coalesce(F.sum(F.size("error_pages")), F.lit(0))
+        .cast("long")
+        .alias("error_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("failed_doc_count"),
+    )
+    return observed, obs

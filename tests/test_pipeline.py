@@ -115,3 +115,24 @@ def test_interleaved_example_assembly(spark):
     assert r["example_text"] == "hello <|media_0|> <|media_1|> world"
     assert r["media_refs_csv"] == "m:a,m:b"
     assert r["n_media"] == 2 and r["n_text"] == 2
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """observe_results collects the lineage counters as a side effect
+    of the caller's own action — and they must equal the explicit
+    lineage_rows aggregation over the same results."""
+    from mimeograph_spark.corpus import corpus_df, generate_rows
+    from mimeograph_spark.plans.pipeline import extract
+    from mimeograph_spark.sources.lineage import observe_results
+
+    docs = corpus_df(spark, generate_rows(n_docs=30, seed=11))
+    observed, obs = observe_results(extract(docs))
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    rows = extract(docs).collect()
+    assert got["doc_count"] == len(rows) == 30
+    assert got["span_count"] == sum(len(r["spans_out"]) for r in rows)
+    assert got["error_count"] == sum(len(r["error_pages"]) for r in rows)
+    assert got["failed_doc_count"] == sum(
+        1 for r in rows if r["status"] == "failed"
+    )
