@@ -1250,6 +1250,34 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (functions/normalize.normalize_text)
+    over a planted fixture: docs gain a decomposed-accent suffix
+    (e + U+0301, doc_id % 3 == 0), a BEL control byte (doc_id % 4
+    == 0), and doubled spaces — so NFC composition, control strip,
+    and whitespace collapse all provably fire.  NFC runs as the one
+    Arrow-batched UDF (Spark has no builtin); DuckDB's utf8proc
+    nfc_normalize is the independent oracle for it."""
+    from mimeograph_spark.functions.normalize import normalize_text
+
+    planted = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                # decomposed e + combining acute, escaped so no
+                # literal combining char sits in source
+                F.lit("  cafe\u0301 "),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\x07x")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return normalize_text(planted)
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
@@ -1749,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "source_concentration": q_source_concentration,
         "trigram_logprob": q_trigram_logprob,
+        "text_normalize": q_text_normalize,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1934,6 +1963,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": sql_oracles.SNAPSHOT_DIFF_ORACLE,
         "source_concentration": sql_oracles.SOURCE_CONCENTRATION_ORACLE,
         "trigram_logprob": sql_oracles.trigram_backoff_sql(),
+        "text_normalize": sql_oracles.TEXT_NORMALIZE_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

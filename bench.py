@@ -182,7 +182,7 @@ HEADLINE_QUERIES = (
     "funnel_steps", "retention_cohorts", "histogram_quantiles",
     "resample_locf", "distribution_drift", "triangle_stats",
     "embedding_outliers", "blocklist_filter", "snapshot_diff",
-    "source_concentration", "trigram_logprob",
+    "source_concentration", "trigram_logprob", "text_normalize",
 )
 
 

@@ -2653,6 +2653,30 @@ def pagerank_sql(
     )
 
 
+TEXT_NORMALIZE_ORACLE = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '  cafe' || chr(769) || ' ' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(7) || 'x' ELSE '' END AS t
+  FROM documents
+), norm AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(regexp_replace(
+           nfc_normalize(t),
+           '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+           '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+  FROM planted
+)
+SELECT doc_id, norm_text,
+       (norm_text <> t) AS changed,
+       CAST(length(t) - length(norm_text) AS BIGINT) AS delta_chars
+FROM norm
+"""
+
+
 def trigram_backoff_sql(alpha: float = 0.4) -> str:
     """Mirrors textstats.trigram_backoff_logprob with train = even
     doc_ids: identical tokenize, identical count tables, the same

@@ -32,6 +32,7 @@ PYTHON_OK = {
     "pipeline_extract", "ocr_pages", "multimodal_meta", "media_features",
     "media_resize", "frame_sample", "udaf_quality_percentiles",
     "udtf_token_chunks", "cogroup_asof_lag", "udaf_arrow_percentiles",
+    "text_normalize",  # the one NFC Arrow UDF (no Spark builtin)
 }
 # queries whose BroadcastNestedLoopJoin is a 1-row scalar attach
 # (tfidf/q14/q22), or a BOUNDED broadcast scoring pass: brute-force

@@ -2341,3 +2341,31 @@ def test_trigram_backoff_exercises_all_branches(spark):
         assert got[k][:2] == exp[k][:2], k
         assert abs(got[k][2] - exp[k][2]) <= 1.01e-6, k
     assert got[5] == (0, 0, 0.0) and got[7] == (0, 0, 0.0)
+
+
+# ------------------------------------------------------ normalization
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    from mimeograph_spark.functions.normalize import normalize_text
+
+    rows = [
+        (1, "cafe\u0301 time"),  # decomposed; NFC composes e+acute
+        (2, "a\x07b\x00c"),            # controls stripped
+        (3, "  a \t\n b  "),            # ws collapse + trim
+        (4, "plain ascii"),             # unchanged
+        (5, None),                      # null survives as null
+        (6, "\u212b ring"),  # ANGSTROM SIGN -> U+00C5 (len same)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["norm_text"] == "caf\u00e9 time"
+    assert got[1]["changed"] and got[1]["delta_chars"] == 1
+    assert got[2]["norm_text"] == "abc"
+    assert got[2]["delta_chars"] == 2
+    assert got[3]["norm_text"] == "a b"
+    assert got[4]["norm_text"] == "plain ascii"
+    assert got[4]["changed"] is False and got[4]["delta_chars"] == 0
+    assert got[5]["norm_text"] is None and got[5]["changed"] is None
+    assert got[6]["norm_text"] == "\u00c5 ring"
+    assert got[6]["changed"] and got[6]["delta_chars"] == 0
