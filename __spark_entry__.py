@@ -1278,6 +1278,39 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(planted)
 
 
+def q_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (functions/agreement.binary_agreement) between
+    two deterministic binary quality raters over documents: a
+    char-length rule (n_chars >= 120) and a token-count proxy
+    (>= 25 single-space tokens).  One map-side aggregation; every FP
+    input is an exact integer so kappa hash-matches."""
+    from mimeograph_spark.functions.agreement import binary_agreement
+
+    docs = _read(spark, sf_dir, "documents")
+    a = F.col("n_chars") >= 120
+    b = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ) >= 24
+    return binary_agreement(docs, a, b)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier flags (functions/robust.mad_outliers)
+    on event values per event_type: modified z = 0.6745*(x-med)/MAD,
+    Iglewicz-Hoaglin 3.5 cut.  Two rank-arithmetic percentile passes
+    (partition-parallel per group), group stats broadcast back; the
+    DuckDB oracle uses quantile_cont, which matches the rank
+    arithmetic exactly."""
+    from mimeograph_spark.functions.robust import mad_outliers
+
+    return mad_outliers(
+        _read(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+    )
+
+
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
@@ -1778,6 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "trigram_logprob": q_trigram_logprob,
         "text_normalize": q_text_normalize,
+        "signal_agreement": q_signal_agreement,
+        "mad_outliers": q_mad_outliers,
         # --- checked green in r4 — rotate to tail ---
         "dedup_clusters": q_dedup_clusters,
         "simhash_cap_stats": q_simhash_cap_stats,
@@ -1964,6 +1999,8 @@ def oracle_sql() -> dict[str, str]:
         "source_concentration": sql_oracles.SOURCE_CONCENTRATION_ORACLE,
         "trigram_logprob": sql_oracles.trigram_backoff_sql(),
         "text_normalize": sql_oracles.TEXT_NORMALIZE_ORACLE,
+        "signal_agreement": sql_oracles.SIGNAL_AGREEMENT_ORACLE,
+        "mad_outliers": sql_oracles.MAD_OUTLIERS_ORACLE,
     }
     out.update(sql_oracles.RELATIONAL_ORACLES)
     return out

@@ -183,6 +183,7 @@ HEADLINE_QUERIES = (
     "resample_locf", "distribution_drift", "triangle_stats",
     "embedding_outliers", "blocklist_filter", "snapshot_diff",
     "source_concentration", "trigram_logprob", "text_normalize",
+    "signal_agreement", "mad_outliers",
 )
 
 

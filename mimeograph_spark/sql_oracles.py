@@ -2653,6 +2653,61 @@ def pagerank_sql(
     )
 
 
+SIGNAL_AGREEMENT_ORACLE = r"""
+WITH sig AS (
+  SELECT n_chars >= 120 AS a,
+         (length(text) - length(replace(text, ' ', ''))) >= 24 AS b
+  FROM documents
+), c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM sig
+), r AS (
+  SELECT *,
+         (n11 + n00) / n AS po_raw,
+         ((n11 + n10)::DOUBLE * (n11 + n01)
+          + (n01 + n00)::DOUBLE * (n10 + n00))
+           / (n::DOUBLE * n) AS pe_raw
+  FROM c
+)
+SELECT n, n11, n10, n01, n00,
+       round(po_raw, 6) AS po,
+       round(pe_raw, 6) AS pe,
+       round(CASE WHEN pe_raw < 1e0
+                  THEN (po_raw - pe_raw) / (1e0 - pe_raw)
+                  ELSE 0e0 END, 6) AS kappa
+FROM r
+"""
+
+
+MAD_OUTLIERS_ORACLE = r"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+), devs AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+  FROM devs GROUP BY event_type
+), scored AS (
+  SELECT d.event_id, d.event_type, d.value,
+         CASE WHEN m.mad > 0
+              THEN CAST(round(0.6745e0 * (d.value - d.med) / m.mad
+                              * 1000000e0, 0) AS BIGINT)
+              ELSE 0 END AS rz_micro
+  FROM devs d JOIN mad m USING (event_type)
+)
+SELECT event_id, event_type, value, rz_micro,
+       abs(rz_micro) > 3500000 AS is_outlier
+FROM scored
+"""
+
+
 TEXT_NORMALIZE_ORACLE = r"""
 WITH planted AS (
   SELECT doc_id,

@@ -2369,3 +2369,73 @@ def test_normalize_text_nfc_controls_whitespace(spark):
     assert got[5]["norm_text"] is None and got[5]["changed"] is None
     assert got[6]["norm_text"] == "\u00c5 ring"
     assert got[6]["changed"] and got[6]["delta_chars"] == 0
+
+
+# ------------------------------------------------------------ agreement
+
+
+def test_binary_agreement_matches_sklearn_free_formula(spark):
+    from mimeograph_spark.functions.agreement import binary_agreement
+
+    # hand confusion matrix: n11=4 n10=2 n01=1 n00=3
+    rows = (
+        [(True, True)] * 4 + [(True, False)] * 2
+        + [(False, True)] * 1 + [(False, False)] * 3
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = binary_agreement(df, F.col("a"), F.col("b")).collect()[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+        10, 4, 2, 1, 3,
+    )
+    po = 7 / 10
+    pe = (6 * 5 + 4 * 5) / 100
+    assert r["po"] == round(po, 6)
+    assert r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_binary_agreement_degenerate_raters(spark):
+    from mimeograph_spark.functions.agreement import binary_agreement
+
+    df = spark.createDataFrame(
+        [(True, True)] * 5, "a boolean, b boolean"
+    )
+    r = binary_agreement(df, F.col("a"), F.col("b")).collect()[0]
+    assert r["pe"] == 1.0 and r["kappa"] == 0.0
+
+
+# --------------------------------------------------------------- robust
+
+
+def test_mad_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from mimeograph_spark.functions.robust import mad_outliers
+
+    vals = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 500)]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    got = {r["event_id"]: r for r in mad_outliers(df).collect()}
+    med = round(float(np.percentile(vals, 50)), 6)
+    mad = round(float(np.percentile([abs(v - med) for v in vals], 50)), 6)
+    for i, v in enumerate(vals):
+        exp = int(round(0.6745 * (v - med) / mad * 1e6))
+        assert got[i]["rz_micro"] == exp
+        assert got[i]["is_outlier"] == (abs(exp) > 3500000)
+    assert got[9]["is_outlier"] is True
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    from mimeograph_spark.functions.robust import mad_outliers
+
+    # over half identical -> MAD 0 -> nothing flagged even with an
+    # extreme value present
+    rows = [(i, "g", 5.0) for i in range(6)] + [(9, "g", 1e9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = mad_outliers(df).collect()
+    assert all(r["rz_micro"] == 0 and not r["is_outlier"] for r in got)
