@@ -1314,13 +1314,23 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build (functions/search.inverted_postings):
     term -> (df, ascending doc-id posting list), hapaxes dropped.
-    One tokenize scan + one groupBy(term); the posting arrays are the
-    value-hashed payload, so ordering inside them is part of the
-    check."""
+    One tokenize scan + one groupBy(term); the posting list is the
+    value-hashed payload, so ordering inside it is part of the check.
+    The library API returns array<bigint>; the registered query
+    stringifies it (array_join) because the driver canonicalizer
+    pandas-sorts every column and list cells are unhashable — the
+    oracle mirrors with array_to_string."""
     from mimeograph_spark.functions.search import inverted_postings
 
-    return inverted_postings(
+    idx = inverted_postings(
         _read(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
     )
 
 
@@ -1727,18 +1737,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is the driver's check order: the per-round
     CORRECTNESS file covers a window from the FRONT of this dict, so
-    entries are rotated each round — queries the driver has not
-    checked recently (plus anything new this round) come first, and
-    freshly-green ones from the previous round's window go last.
-    Round 5 front-loads the 33 entries last driver-checked in round 3
-    (the r4 window covered the other 50) plus 17 of the 21 new
-    entries; with 54 stale-or-new candidates for a 50-slot window,
-    the new queries with the deepest in-suite coverage (unit tests
-    beyond the oracle mirror, which itself re-checks EVERY query each
-    pytest run) sit just past the window at 51+ and lead round 6;
-    the 50 freshly-green r4 entries rotate to the tail."""
+    entries are sorted by staleness — never-driver-checked queries
+    first (zero hard validation so far; the in-suite DuckDB mirror
+    re-checks every query each pytest run, but the driver is
+    authoritative), then ascending by last-checked round, with the
+    previous round's freshly-green window at the tail.  Round 6:
+    21 never-checked (added r5) + 29 of the 50 r4-checked fill the
+    window; the remaining 21 r4-checked sit immediately after and
+    lead round 7.  tests/test_contract.py pins the prefix property
+    (no query outside the window is strictly more overdue than one
+    inside)."""
     return {
-        # --- new this round (r5) ---
+        # --- never driver-checked (added r5; window head) ---
+        "chunk_documents": q_chunk_documents,
+        "check_constraints": q_check_constraints,
+        "heavy_hitters": q_heavy_hitters,
+        "line_dedup": q_line_dedup,
+        "cms_term_counts": q_cms_term_counts,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "corpus_overlap": q_corpus_overlap,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "histogram_quantiles": q_histogram_quantiles,
+        "resample_locf": q_resample_locf,
+        "distribution_drift": q_distribution_drift,
+        "triangle_stats": q_triangle_stats,
+        "embedding_outliers": q_embedding_outliers,
+        "blocklist_filter": q_blocklist_filter,
+        "snapshot_diff": q_snapshot_diff,
+        "source_concentration": q_source_concentration,
+        "trigram_logprob": q_trigram_logprob,
+        "text_normalize": q_text_normalize,
+        "signal_agreement": q_signal_agreement,
+        "mad_outliers": q_mad_outliers,
+        # --- last checked r4 — window fill ---
+        "dedup_clusters": q_dedup_clusters,
+        "simhash_cap_stats": q_simhash_cap_stats,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "cogroup_asof_lag": q_cogroup_asof_lag,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "semi_join_q4": relational.semi_join_order_priority,
+        "outer_join_nations": relational.outer_join_nation_activity,
+        "asof_join_events": q_asof_join,
+        "range_join_price_bands": q_range_join,
+        "hypertable_rollup": q_hypertable_rollup,
+        "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
+        "char_stats": q_char_stats,
+        "sketch_rollup": q_sketch_rollup,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "udaf_arrow_percentiles": q_udaf_arrow_percentiles,
+        "variant_extract": q_variant_extract,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q13_order_count_distribution": relational.q13_order_count_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q10_returned_items": relational.q10_returned_items,
+        # --- last checked r4 — window overflow (51+), lead r7 ---
+        "q12_shipping_delay": relational.q12_shipping_delay,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q19_disjunctive_brackets": relational.q19_disjunctive_brackets,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "pipeline_extract": q_pipeline_extract,
+        "classify_branch": q_classify_branch,
+        "span_kind_counts": q_span_kind_counts,
+        "ocr_pages": q_ocr_pages,
+        "interleaved_examples": q_interleaved_examples,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_suppliers": relational.q5_local_suppliers,
+        "q17_small_quantity": relational.q17_small_quantity_revenue,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "q18_large_orders": relational.q18_large_orders,
+        "q20_excess_shippers": relational.q20_excess_shippers,
+        "q22_dormant_customers": relational.q22_dormant_customers,
+        "window_topn": relational.window_top_orders_per_customer,
+        "window_analytics": relational.window_analytics,
+        "rolling_window_revenue": relational.rolling_window_revenue,
+        "rollup_status_month": relational.rollup_orders_by_status_month,
+        # --- checked green in r5 — rotate to tail ---
         "url_dedup_best": q_url_dedup_best,
         "incremental_dedup": q_incremental_dedup,
         "domain_stats": q_domain_stats,
@@ -1756,7 +1840,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "inverted_postings": q_inverted_postings,
         "bm25_topk": q_bm25_topk,
-        # --- last driver-checked in r3 — rotate to front ---
         "cube_status_priority": relational.cube_status_priority,
         "grouping_sets_revenue": relational.grouping_sets_revenue,
         "anti_join_customers": relational.customers_without_orders,
@@ -1790,80 +1873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "lsh_near_dup_pairs": q_lsh_near_dup_pairs,
-        # --- new in r5, window overflow (51+): deep in-suite
-        # coverage now, lead the r6 driver window ---
-        "chunk_documents": q_chunk_documents,
-        "check_constraints": q_check_constraints,
-        "heavy_hitters": q_heavy_hitters,
-        "line_dedup": q_line_dedup,
-        "cms_term_counts": q_cms_term_counts,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "corpus_overlap": q_corpus_overlap,
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "histogram_quantiles": q_histogram_quantiles,
-        "resample_locf": q_resample_locf,
-        "distribution_drift": q_distribution_drift,
-        "triangle_stats": q_triangle_stats,
-        "embedding_outliers": q_embedding_outliers,
-        "blocklist_filter": q_blocklist_filter,
-        "snapshot_diff": q_snapshot_diff,
-        "source_concentration": q_source_concentration,
-        "trigram_logprob": q_trigram_logprob,
-        "text_normalize": q_text_normalize,
-        "signal_agreement": q_signal_agreement,
-        "mad_outliers": q_mad_outliers,
-        # --- checked green in r4 — rotate to tail ---
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_cap_stats": q_simhash_cap_stats,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "cogroup_asof_lag": q_cogroup_asof_lag,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "semi_join_q4": relational.semi_join_order_priority,
-        "outer_join_nations": relational.outer_join_nation_activity,
-        "asof_join_events": q_asof_join,
-        "range_join_price_bands": q_range_join,
-        "hypertable_rollup": q_hypertable_rollup,
-        "multimodal_meta": q_multimodal_meta,
-        "media_features": q_media_features,
-        "media_resize": q_media_resize,
-        "frame_sample": q_frame_sample,
-        "char_stats": q_char_stats,
-        "sketch_rollup": q_sketch_rollup,
-        "fuzzy_name_pairs": q_fuzzy_name_pairs,
-        "udaf_arrow_percentiles": q_udaf_arrow_percentiles,
-        "variant_extract": q_variant_extract,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q13_order_count_distribution": relational.q13_order_count_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q10_returned_items": relational.q10_returned_items,
-        "q12_shipping_delay": relational.q12_shipping_delay,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q19_disjunctive_brackets": relational.q19_disjunctive_brackets,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "pipeline_extract": q_pipeline_extract,
-        "classify_branch": q_classify_branch,
-        "span_kind_counts": q_span_kind_counts,
-        "ocr_pages": q_ocr_pages,
-        "interleaved_examples": q_interleaved_examples,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_local_suppliers": relational.q5_local_suppliers,
-        "q17_small_quantity": relational.q17_small_quantity_revenue,
-        "q16_supplier_counts": relational.q16_supplier_counts,
-        "q18_large_orders": relational.q18_large_orders,
-        "q20_excess_shippers": relational.q20_excess_shippers,
-        "q22_dormant_customers": relational.q22_dormant_customers,
-        "window_topn": relational.window_top_orders_per_customer,
-        "window_analytics": relational.window_analytics,
-        "rolling_window_revenue": relational.rolling_window_revenue,
-        "rollup_status_month": relational.rollup_orders_by_status_month,
     }
 
 

@@ -42,6 +42,18 @@ from .dedup import (
 )
 from .textstats import fingerprint
 
+# The persisted sigs table is hash-partitioned on id so each
+# increment's rerank reads only the directories holding candidate
+# ids (dynamic partition pruning through the broadcast semi-join)
+# instead of the full corpus-sized table.  64 buckets keeps the
+# directory fan-out sane while still pruning >90% of a large index
+# for a small delta.
+SIG_BUCKETS = 64
+
+
+def _sig_bucket(col: F.Column) -> F.Column:
+    return F.pmod(F.xxhash64(col), F.lit(SIG_BUCKETS))
+
 
 def _staged(
     df: DataFrame, id_col: str, text_col: str, k: int, n: int
@@ -81,7 +93,9 @@ def build_lsh_index(
     reps = staged.join(
         groups.select(F.col("canon").alias("id")), "id", "left_semi"
     )
-    reps.write.mode("overwrite").parquet(f"{path}/sigs")
+    reps.withColumn("sbkt", _sig_bucket(F.col("id"))).write.mode(
+        "overwrite"
+    ).partitionBy("sbkt").parquet(f"{path}/sigs")
 
     banded = reps.select(
         "id",
@@ -104,14 +118,18 @@ def lsh_increment(
     bands: int = 4,
     n: int = 3,
     max_bucket: int = 64,
-    update: bool = True,
-) -> DataFrame:
+    update: bool | str = True,
+) -> DataFrame | tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Near-dup pairs (id_a, id_b, jaccard) between the new batch and
     the indexed corpus plus within the new batch, id_a < id_b, exact
     matches at jaccard 1.0.  PRECONDITION: new ids all exceed indexed
-    ids.  With ``update`` the batch is appended to the index (plain
-    parquet append — wrap the call in `sources.checkpoint` for
-    exactly-once under retries).
+    ids.  With ``update=True`` the batch is appended to the index
+    (plain parquet append — NOT replay-safe on its own; a retry
+    double-appends).  With ``update="defer"`` nothing is written:
+    returns ``(pairs, fps_delta, sigs_delta, bands_delta)``, each an
+    eager localCheckpoint severed from the live index, so the caller
+    owns the commit and can make it idempotent (the streaming path's
+    staged redo-log in `streaming/incremental_dedup.py` does).
 
     Scale shape: every join against an index table BROADCASTS the
     delta side — the index is scanned once per table, filtered in the
@@ -129,8 +147,18 @@ def lsh_increment(
         F.col("id").alias("id_b"),
         F.lit(1.0).alias("jaccard"),
     )
-    # exact stage 2: unseen fingerprints group within the batch
-    miss = new_fp.join(F.broadcast(idx_fps), "fp", "left_anti")
+    # exact stage 2: unseen fingerprints group within the batch.
+    # The anti-join must NOT broadcast the corpus-sized fps table —
+    # derive the delta-bounded hit set first (index streamed through
+    # a hash join against the broadcast delta, same direction as
+    # exact stage 1), then anti-join the delta against the tiny hit
+    # set.  One extra stage, but the index is never broadcast.
+    fp_hits = (
+        idx_fps.join(F.broadcast(new_fp.select("fp").distinct()), "fp")
+        .select("fp")
+        .distinct()
+    )
+    miss = new_fp.join(F.broadcast(fp_hits), "fp", "left_anti")
     new_groups = miss.groupBy("fp").agg(F.min("id").alias("canon"))
     if update:
         # sever the fps lineage NOW: appending to {path}/fps below
@@ -196,10 +224,33 @@ def lsh_increment(
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    cand = cand_old.unionByName(cand_new).distinct()
+    cand = (
+        cand_old.unionByName(cand_new)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    # rerank with the stored/staged shingle arrays
-    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    # rerank with the stored/staged shingle arrays.  The sigs table
+    # is corpus-sized; reading it whole per increment defeats the
+    # incremental contract.  It is partitioned by sbkt (id hash), so
+    # a broadcast semi-join on (sbkt, id) against the delta-bounded
+    # candidate-id set dynamic-partition-prunes the scan to only the
+    # directories that hold a candidate — same shape as the IVF
+    # probe's plan-pinned pruning.
+    # the between() is an invariant no-op (pmod lands in [0, B)) whose
+    # real job is to satisfy DPP's isLikelySelective gate — without a
+    # comparison predicate on the build side Spark skips inserting
+    # the pruning subquery even for a free broadcast reuse
+    need = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("sbkt", _sig_bucket(F.col("id")))
+        .filter(F.col("sbkt").between(0, SIG_BUCKETS - 1))
+    )
+    idx_sigs = spark.read.parquet(f"{path}/sigs").join(
+        F.broadcast(need), ["sbkt", "id"], "left_semi"
+    )
     sh_src = idx_sigs.select("id", "sh").unionByName(
         staged_new.select("id", "sh")
     )
@@ -216,21 +267,39 @@ def lsh_increment(
 
     out = exact_old.unionByName(exact_new).unionByName(scored)
 
+    if update == "defer":
+        # materialize everything and hand the deltas to the caller —
+        # no writes here, so a crashed caller can recompute from a
+        # clean slate and a committed caller never re-enters
+        out = out.localCheckpoint(eager=True)
+        fps_delta = new_groups  # already an eager localCheckpoint
+        sigs_delta = (
+            staged_new.select("id", "sh", "sig")
+            .withColumn("sbkt", _sig_bucket(F.col("id")))
+            .localCheckpoint(eager=True)
+        )
+        bands_delta = banded_new.localCheckpoint(eager=True)
+        staged_new.unpersist()
+        banded_new.unpersist()
+        cand.unpersist()
+        return out, fps_delta, sigs_delta, bands_delta
+
     if update:
         # materialize the result BEFORE appending: the output plan
         # reads the index tables, and appending first would double
         # the probe side on any lazy re-execution
         out = out.localCheckpoint(eager=True)
         new_groups.write.mode("append").parquet(f"{path}/fps")
-        staged_new.select("id", "sh", "sig").write.mode("append").parquet(
-            f"{path}/sigs"
-        )
+        staged_new.select("id", "sh", "sig").withColumn(
+            "sbkt", _sig_bucket(F.col("id"))
+        ).write.mode("append").partitionBy("sbkt").parquet(f"{path}/sigs")
         banded_new.write.mode("append").partitionBy("band").parquet(
             f"{path}/bands"
         )
         staged_new.unpersist()
         banded_new.unpersist()
+        cand.unpersist()
         return out
     from ..cacheutil import register_persisted
 
-    return register_persisted(out, staged_new, banded_new)
+    return register_persisted(out, staged_new, banded_new, cand)

@@ -147,8 +147,9 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonlSinkWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> _FileCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -161,6 +162,18 @@ class JsonlSinkWriter(DataSourceWriter):
         return _FileCommit(tmp_name=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            # clear prior committed output INSIDE the commit (not in
+            # write(): tasks run before the job is known to succeed,
+            # and a failed overwrite job must leave the old data
+            # readable).  New parts are still .tmp at this point, so
+            # only previously committed files match the glob.
+            for name in os.listdir(self.path):
+                if (
+                    name.endswith(".jsonl") and name.startswith("part-")
+                ) or name == "_SUCCESS":
+                    os.unlink(os.path.join(self.path, name))
         total = 0
         for m in messages:
             if m is None:
@@ -190,7 +203,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonlsink"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite=overwrite)
 
 
 def register(spark) -> None:

@@ -2972,7 +2972,8 @@ WITH pairs AS (
     FROM documents
   )
 )
-SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+SELECT term, count(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM pairs GROUP BY term HAVING count(*) >= 2
 """
 

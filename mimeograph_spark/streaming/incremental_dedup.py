@@ -13,22 +13,76 @@ arriving continuously in O(delta) per trigger.
 Exactly-once: foreachBatch is at-least-once, and unlike the sketch
 stream (whose union state absorbs replays by idempotence) an index
 APPEND is not idempotent — a replayed batch would double its rows in
-fps/sigs/bands and duplicate pairs.  The standard foreachBatch recipe
-applies: a marker file per batch id written AFTER the batch commits;
-a replayed id short-circuits before touching anything.  (The marker
-dir can sit on the same object store as the index; the driver writes
-it, so no coordination is needed beyond the stream's own
-single-writer guarantee.)
+fps/sigs/bands and duplicate pairs.  A marker written after the
+appends is NOT enough: a crash between an append and the marker
+replays the batch against half-committed state.  The protocol here
+is a per-batch staged redo log:
+
+1. ``lsh_increment(update="defer")`` computes the pairs and the three
+   index deltas with NO writes (everything eagerly checkpointed, so
+   the compute is severed from the live index);
+2. all four frames are written to a batch-scoped STAGING dir
+   (mode=overwrite — a replayed compute wipes any partial staging);
+3. a ``_STAGED`` flag commits the staging atomically (single file
+   create);
+4. the staged files are MOVED into the live tables under
+   deterministic per-batch names (``batch-{id}-{seq}.parquet``), each
+   move skipped if its destination already exists;
+5. the batch marker is written, then staging is cleaned up.
+
+Replay analysis: crash before (3) → no flag, recompute from scratch
+over the unchanged live index (staging overwrite wipes partials);
+crash between (3) and (5) → the flag routes the replay to REDO the
+moves only (idempotent: deterministic destination names, existing
+destinations skipped) without recomputing — correct even though the
+live index now holds some of this batch's files; crash after (5) →
+the marker short-circuits.  Every staged file lands in the live
+table exactly once.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.incremental import lsh_increment
+
+
+def _touch(path: str) -> None:
+    with open(path, "w") as fh:
+        fh.write("done")
+
+
+def _redo_moves(staging: str, dests: dict[str, str], batch_id: int) -> None:
+    """Move every staged parquet file into its live table under a
+    deterministic name; partition subdirectories (band=…, sbkt=…) are
+    preserved.  Idempotent: re-running skips files already moved."""
+    for sub, dest_root in sorted(dests.items()):
+        src_root = os.path.join(staging, sub)
+        if not os.path.isdir(src_root):
+            continue
+        files = []
+        for dirpath, _dirs, names in os.walk(src_root):
+            rel = os.path.relpath(dirpath, src_root)
+            for name in names:
+                if name.endswith(".parquet"):
+                    files.append((rel, name))
+        for seq, (rel, name) in enumerate(sorted(files)):
+            dest_dir = (
+                dest_root if rel == "." else os.path.join(dest_root, rel)
+            )
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(
+                dest_dir, f"batch-{batch_id}-{seq:05d}.parquet"
+            )
+            src = os.path.join(src_root, rel, name)
+            if os.path.exists(dest):
+                continue  # replayed move — already landed
+            if os.path.exists(src):
+                os.replace(src, dest)
 
 
 def dedup_batch(
@@ -45,29 +99,52 @@ def dedup_batch(
     n: int = 3,
     max_bucket: int = 64,
 ) -> bool:
-    """Process one micro-batch; returns False when the batch id was
-    already committed (replay) and nothing was touched."""
+    """Process one micro-batch via the staged redo-log protocol (see
+    module docstring); returns False when the batch id was already
+    committed (replay) and nothing was touched."""
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"batch-{batch_id}")
+    staging = os.path.join(marker_dir, f"stage-{batch_id}")
+    staged_flag = staging + ".STAGED"
     if os.path.exists(marker):
+        # committed; reap staging leaked by a crash after the marker
+        shutil.rmtree(staging, ignore_errors=True)
+        if os.path.exists(staged_flag):
+            os.unlink(staged_flag)
         return False
-    pairs = lsh_increment(
-        spark,
-        index_path,
-        batch_df.select(id_col, text_col),
-        id_col=id_col,
-        text_col=text_col,
-        k=k,
-        bands=bands,
-        n=n,
-        max_bucket=max_bucket,
-        update=True,
-    )
-    # lsh_increment(update=True) returns an eager localCheckpoint, so
-    # the pair append below cannot see the post-append index state
-    pairs.write.mode("append").parquet(pairs_out)
-    with open(marker, "w") as fh:
-        fh.write("done")
+    dests = {
+        "pairs": pairs_out,
+        "fps": f"{index_path}/fps",
+        "sigs": f"{index_path}/sigs",
+        "bands": f"{index_path}/bands",
+    }
+    if not os.path.exists(staged_flag):
+        pairs, fps_d, sigs_d, bands_d = lsh_increment(
+            spark,
+            index_path,
+            batch_df.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            k=k,
+            bands=bands,
+            n=n,
+            max_bucket=max_bucket,
+            update="defer",
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        pairs.write.mode("overwrite").parquet(f"{staging}/pairs")
+        fps_d.write.mode("overwrite").parquet(f"{staging}/fps")
+        sigs_d.write.mode("overwrite").partitionBy("sbkt").parquet(
+            f"{staging}/sigs"
+        )
+        bands_d.write.mode("overwrite").partitionBy("band").parquet(
+            f"{staging}/bands"
+        )
+        _touch(staged_flag)
+    _redo_moves(staging, dests, batch_id)
+    _touch(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.unlink(staged_flag)
     return True
 
 

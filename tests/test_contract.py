@@ -36,17 +36,16 @@ def test_coverage_map_mentions_every_query():
     assert not missing, f"COVERAGE.md is missing queries: {missing}"
 
 
-def test_no_query_goes_two_rounds_unchecked():
-    """Rotation invariant: every query EVER driver-checked must appear
-    either in the LAST round's CORRECTNESS file or inside the front
-    window the driver will check THIS round (first 50 entries) — no
-    previously-checked query drifts more than two rounds from a hard
-    driver check.  BRAND-NEW queries (in no CORRECTNESS file yet) go
-    in the window too, except when stale + new exceed the 50-slot
-    window: then the overflow must (a) be new-only — stale queries
-    always win a slot — and (b) sit IMMEDIATELY after the window so
-    the overflow leads the next round's window.  (Every query is also
-    oracle-checked in-suite each pytest run by test_entry_oracle.)"""
+def test_rotation_window_holds_the_most_overdue_queries():
+    """Rotation invariant, prefix form: rank every query by staleness
+    — never driver-checked first (they have ZERO hard validation; the
+    in-suite DuckDB mirror re-checks everything each pytest run, but
+    the driver is authoritative), then ascending by the round of the
+    last hard check.  The driver's front-50 window must be a PREFIX
+    of that ranking: no query outside the window may be strictly more
+    overdue than any query inside it.  When more than 50 queries tie
+    at the boundary the choice among equals is free, and the overflow
+    naturally leads the next round's window."""
     import json
     import re
 
@@ -56,34 +55,20 @@ def test_no_query_goes_two_rounds_unchecked():
         if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
     )
     assert files, "no CORRECTNESS files found"
-    last = set(json.load(open(os.path.join(REPO, files[-1]))))
-    ever = set()
+    last_checked: dict[str, int] = {}
     for f in files:
-        ever |= set(json.load(open(os.path.join(REPO, f))))
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for name in json.load(open(os.path.join(REPO, f))):
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
+
     order = list(entry_mod.queries())
-    window = set(order[:50])
-    overdue = [
-        n for n in order
-        if n in ever and n not in last and n not in window
-    ]
-    assert not overdue, (
-        f"previously-checked queries neither checked last round nor "
-        f"in this round's window: {overdue}"
+    if len(order) <= 50:
+        return
+    key = lambda n: last_checked.get(n, -1)  # noqa: E731
+    worst_in = max(order[:50], key=key)
+    best_out = min(order[50:], key=key)
+    assert key(worst_in) <= key(best_out), (
+        f"rotation violated: {best_out!r} (last checked "
+        f"r{key(best_out)}) sits outside the driver window while "
+        f"{worst_in!r} (last checked r{key(worst_in)}) holds a slot"
     )
-    new_overflow = [
-        i for i, n in enumerate(order)
-        if n not in ever and n not in window
-    ]
-    if new_overflow:
-        n_stale_or_new = sum(
-            1 for n in order if n not in last or n not in ever
-        )
-        assert n_stale_or_new > 50, (
-            "new queries left outside the window even though it "
-            f"had room: {[order[i] for i in new_overflow]}"
-        )
-        want = list(range(50, 50 + len(new_overflow)))
-        assert new_overflow == want, (
-            f"window-overflow new queries must sit immediately after "
-            f"the window (positions {want}), got {new_overflow}"
-        )

@@ -60,7 +60,23 @@ def test_query_matches_oracle(spark, name):
         df = q(spark, SF_DIR)
         assert df.count() >= 0  # rows-only check, like the driver
         return
-    spark_pdf = q(spark, SF_DIR).toPandas()
+    df = q(spark, SF_DIR)
+    # driver-compat guard: the authoritative canonicalizer
+    # pandas-sorts every column and dies on unhashable (list/dict)
+    # cells — registered queries must stringify arrays/maps
+    # (F.array_join / to_json); the library API can keep them
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: array/map columns {bad} would crash the driver's "
+        "canonicalizer — emit a sortable string form instead"
+    )
+    spark_pdf = df.toPandas()
     duck_pdf = _duck(sql)
     s_cols, s_rows = _normalize(spark_pdf)
     d_cols, d_rows = _normalize(duck_pdf)

@@ -843,3 +843,84 @@ def test_date_range_filters_push_down_q6_q7_q8_q12(spark):
             assert f"LessThan({col}" in pushed, (fn.__name__, plan)
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+
+
+def test_lsh_increment_broadcast_direction_and_sigs_pruning(
+    spark, tmp_path
+):
+    """Two scale pins on the incremental dedup path:
+
+    1. No corpus-sized index frame is ever the build side of a
+       broadcast — the r5 regression was `F.broadcast(idx_fps)` in
+       the fp anti-join.  Pinned at the source level: every
+       F.broadcast(...) argument in functions/incremental.py must be
+       one of the reviewed delta-bounded names (the index tables'
+       handles never appear).
+    2. The rerank's read of the corpus-sized sigs table must carry a
+       DYNAMIC PARTITION PRUNING expression on sbkt — each increment
+       reads only the hash buckets holding candidate ids, not the
+       whole index."""
+    import ast
+    import inspect
+
+    from mimeograph_spark.functions import incremental
+
+    src = inspect.getsource(incremental)
+    allowed = {
+        "new_fp", "fp_hits", "new_groups", "touched", "keep",
+        "capped_new", "need",
+    }
+    for node in ast.walk(ast.parse(src)):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "broadcast"
+        ):
+            arg = node.args[0]
+            # unwrap chained calls (e.g. new_fp.select(...).distinct())
+            while isinstance(arg, (ast.Call, ast.Attribute)):
+                arg = arg.func if isinstance(arg, ast.Call) else arg.value
+            assert isinstance(arg, ast.Name), ast.dump(node)
+            assert arg.id in allowed, (
+                f"F.broadcast({arg.id}) at line {node.lineno}: not a "
+                "reviewed delta-bounded frame — broadcasting an "
+                "index-derived table OOMs at corpus scale"
+            )
+
+    from mimeograph_spark.functions.incremental import (
+        build_lsh_index,
+        lsh_increment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} " + " ".join(
+                f"w{i}_{j}" for j in range(10)
+            ))
+            for i in range(1, 31)
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs.filter("doc_id <= 20"), path, k=16, bands=4)
+    out = lsh_increment(
+        spark, path, docs.filter("doc_id > 20"), k=16, bands=4,
+        update=False,
+    )
+    out.count()
+    # metadata fields (Location, PartitionFilters) are truncated at
+    # 100 chars by default — long pytest tmp paths push the table
+    # name and the pruning expression out of the dump
+    prior = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prior)
+    sigs_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "/sigs]" in l
+    ]
+    assert sigs_lines, plan
+    for l in sigs_lines:
+        assert "dynamicpruning" in l.lower() and "sbkt" in l, l

@@ -73,3 +73,34 @@ def test_jsonlsink_commit_protocol(spark, tmp_path):
     assert sorted((r["k"], r["t"]) for r in got) == [
         (i, f"t{i}") for i in range(25)
     ]
+
+
+def test_jsonlsink_overwrite_clears_prior_output(spark, tmp_path):
+    """mode=overwrite must not leave prior committed part files in
+    place — readers of the directory would otherwise see a mix of old
+    and new data under a fresh _SUCCESS.  The clear happens inside
+    commit(), so a FAILED overwrite job leaves the old data intact."""
+    register(spark)
+    out = str(tmp_path / "sink")
+    first = spark.createDataFrame(
+        [(i, f"old{i}") for i in range(10)], "k long, t string"
+    ).repartition(3)
+    first.write.format("jsonlsink").option("path", out).mode(
+        "append"
+    ).save()
+    second = spark.createDataFrame(
+        [(i, f"new{i}") for i in range(4)], "k long, t string"
+    ).repartition(2)
+    second.write.format("jsonlsink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    got = []
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".jsonl"):
+            with open(os.path.join(out, f)) as fh:
+                got.extend(json.loads(line) for line in fh)
+    assert sorted((r["k"], r["t"]) for r in got) == [
+        (i, f"new{i}") for i in range(4)
+    ]
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert json.load(f)["rows"] == 4

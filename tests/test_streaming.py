@@ -3,6 +3,8 @@ redelivered files (the queue semantics of the reference's resque
 worker pool, recast as Structured Streaming + manifest anti-join).
 """
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -740,3 +742,99 @@ def test_transform_with_state_twin_matches_apply_in_pandas(spark, tmp_path):
     got_old, got_tws = collect("old"), collect("tws")
     assert got_old == got_tws
     assert (7, 1, 3, 13.0) in got_tws  # state continued across restart
+
+
+def test_incremental_dedup_batch_survives_crashes_exactly_once(
+    spark, tmp_path
+):
+    """The staged redo-log commit must be exactly-once under a crash
+    at EITHER vulnerable point: (a) after staging commits but before
+    any file lands in the live tables, and (b) after the moves but
+    before the batch marker — the window the old append-then-marker
+    recipe got wrong (a replay there double-appended index rows)."""
+    from mimeograph_spark.functions.dedup import lsh_candidate_pairs
+    from mimeograph_spark.functions.incremental import build_lsh_index
+    from mimeograph_spark.streaming import incremental_dedup as mod
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    rows = []
+    for i in range(1, 31):
+        if i in (1, 7, 23):
+            t = base
+        elif i in (21, 22, 27):
+            t = base + " twice"
+        else:
+            t = f"unique document number {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(12)
+            )
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index_path = str(tmp_path / "idx")
+    build_lsh_index(docs.filter("doc_id <= 20"), index_path, k=16, bands=4)
+    pairs_out = str(tmp_path / "pairs")
+    marker_dir = str(tmp_path / "markers")
+
+    def run(batch_lo, batch_hi, batch_id):
+        return mod.dedup_batch(
+            spark, index_path,
+            docs.filter(
+                f"doc_id > {batch_lo} AND doc_id <= {batch_hi}"
+            ),
+            batch_id, pairs_out, marker_dir, k=16, bands=4,
+        )
+
+    # crash (a): staging committed, zero moves executed
+    real_moves = mod._redo_moves
+    calls = {"n": 0}
+
+    def exploding_moves(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("crash before any move")
+
+    mod._redo_moves = exploding_moves
+    try:
+        with pytest.raises(RuntimeError):
+            run(20, 25, 0)
+    finally:
+        mod._redo_moves = real_moves
+    assert calls["n"] == 1
+    assert run(20, 25, 0) is True  # replay completes from staging
+
+    # crash (b): moves executed, marker missing
+    real_touch = mod._touch
+
+    def exploding_touch(path):
+        if os.path.basename(path).startswith("batch-"):
+            raise RuntimeError("crash before marker")
+        real_touch(path)
+
+    mod._touch = exploding_touch
+    try:
+        with pytest.raises(RuntimeError):
+            run(25, 30, 1)
+    finally:
+        mod._touch = real_touch
+    assert run(25, 30, 1) is True  # replay redoes (skips) the moves
+
+    # exactly-once: cumulative pairs equal the batch recompute with
+    # no duplicate rows, and no index table holds a double append
+    got_rows = spark.read.parquet(pairs_out).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_rows}
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(docs, k=16, bands=4).collect()
+        if r["id_b"] > 20
+    }
+    assert got == want
+    assert len(got_rows) == len(got)  # no duplicated pair rows
+    fps = spark.read.parquet(f"{index_path}/fps")
+    assert fps.count() == fps.distinct().count()
+    sigs = spark.read.parquet(f"{index_path}/sigs")
+    assert sigs.select("id").count() == sigs.select("id").distinct().count()
+    # committed batches replay as no-ops and staging is reaped
+    assert run(20, 25, 0) is False
+    assert not any(
+        n.startswith("stage-") for n in os.listdir(marker_dir)
+    )
