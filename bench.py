@@ -183,7 +183,8 @@ HEADLINE_QUERIES = (
     "resample_locf", "distribution_drift", "triangle_stats",
     "embedding_outliers", "blocklist_filter", "snapshot_diff",
     "source_concentration", "trigram_logprob", "text_normalize",
-    "signal_agreement", "mad_outliers",
+    "signal_agreement", "mad_outliers", "ann_lsh_topk",
+    "embedding_near_dups", "sketch_estimates",
 )
 
 
@@ -246,6 +247,59 @@ def _ivf_split_times(spark) -> tuple[float, float]:
     return round(build, 3), round(probe_best, 3)
 
 
+def _incdedup_split_times(spark) -> tuple[float, float]:
+    """Index-build vs per-increment probe wall time for the
+    incremental LSH dedup pair — the amortization the composed
+    `incremental_dedup` timing conflates: build_lsh_index over the
+    indexed 90% is paid once; lsh_increment over the newest 10% is
+    the steady-state per-batch cost (broadcast-delta probes +
+    partition-pruned rerank)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mimeograph_spark.functions.incremental import (
+        build_lsh_index,
+        lsh_increment,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cut = docs.agg(
+        F.floor((F.max("doc_id") * 9) / 10).cast("long").alias("_cut")
+    )
+    old = (
+        docs.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") <= F.col("_cut"))
+        .select("doc_id", "text")
+    )
+    new = (
+        docs.crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") > F.col("_cut"))
+        .select("doc_id", "text")
+    )
+    path = tempfile.mkdtemp(prefix="incdedup-bench-")
+    try:
+        start = time.perf_counter()
+        build_lsh_index(old, f"{path}/idx", k=16, bands=4)
+        build = time.perf_counter() - start
+        probe_best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            lsh_increment(
+                spark, f"{path}/idx", new, k=16, bands=4, update=False
+            ).write.format("noop").mode("overwrite").save()
+            probe = time.perf_counter() - start
+            probe_best = (
+                probe if probe_best is None else min(probe_best, probe)
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return round(build, 3), round(probe_best, 3)
+
+
 def _time_queries(spark) -> dict[str, float]:
     """Best-of-2 per query: the first run pays one-time costs that are
     not the operator's (whole-stage-codegen JIT, Python-worker spawn,
@@ -302,6 +356,7 @@ def main() -> None:
     queries = _time_queries(spark)
     ann_recall = _ann_recall(spark)
     ivf_build_sec, ivf_probe_sec = _ivf_split_times(spark)
+    incdedup_build_sec, incdedup_probe_sec = _incdedup_split_times(spark)
     spark.stop()
 
     total = round(sum(queries.values()) + high["sec"], 3)
@@ -319,6 +374,8 @@ def main() -> None:
         "ann_ivf_recall_vs_exact": ann_recall["ann_ivf_topk"],
         "ivf_build_sec": ivf_build_sec,
         "ivf_probe_sec": ivf_probe_sec,
+        "incdedup_build_sec": incdedup_build_sec,
+        "incdedup_probe_sec": incdedup_probe_sec,
         "scaling": {
             "cores_low": 8, "cores_high": CPUS,
             "docs_per_sec_low": low["docs_per_sec"],
@@ -403,9 +460,15 @@ def main() -> None:
             + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
             + "\n## ANN quality\n\nRecall vs exact brute-force top-k "
             "(same corpus/queries):\n\n"
-            f"- radius-2 multi-probe LSH (`ann_lsh_topk`): "
-            f"**{ann_recall['ann_lsh_topk']}** — 37/256 buckets probed "
-            "(~15% of the corpus scored), query-side expansion only.\n"
+            f"- multi-table LSH, 6 tables x 8 planes, radius-1 "
+            f"multiprobe (`ann_lsh_topk`): "
+            f"**{ann_recall['ann_lsh_topk']}** — ~20% of the corpus "
+            "scored; the table fan-out is map-side (probe join is "
+            "broadcast) and duplicate candidates collapse in one "
+            "distinct. Operating-point history: 1 table radius-1 -> "
+            "0.24 @ 4%, radius-2 -> 0.38 @ 15%, 6 tables radius-1 -> "
+            "0.77 @ 20% — independent tables lift recall as "
+            "1-(1-p)^L where deeper multiprobe flattens.\n"
             f"- IVF, M=n/50 centroids, 3 k-means rounds, nprobe=12 "
             f"(`ann_ivf_topk`): **{ann_recall['ann_ivf_topk']}** — "
             "~nprobe/M of the corpus scored (~30% here; the fraction "
@@ -422,11 +485,26 @@ def main() -> None:
             "plan-pinned by test_ivf_probe_prunes_cells). The "
             "`ann_ivf_topk` per-query number above composes BOTH "
             "phases end-to-end.\n\n"
+            f"- Incremental-dedup split (build_lsh_index / "
+            f"lsh_increment): index build **{incdedup_build_sec}s** "
+            "(paid once over the indexed 90% of the corpus: "
+            "fingerprint groups + canonical signatures + banded "
+            "buckets, partitioned writes), per-increment probe "
+            f"**{incdedup_probe_sec}s** (steady-state cost of "
+            "deduping the newest 10% against the index: every index "
+            "join streams the index against a BROADCAST delta, and "
+            "the rerank scan is dynamic-partition-pruned to the "
+            "candidate id buckets — both plan-pinned). The "
+            "`incremental_dedup` per-query number above composes "
+            "BOTH phases end-to-end.\n\n"
             "Context: the synthetic embeddings are near-uniform (top-5 "
             "neighbor cosine ~0.4 vs pairwise noise sigma 0.126), the "
-            "hardest case for any sublinear ANN; IVF's data-adaptive "
-            "cells dominate fixed random hyperplanes on recall per "
-            "candidate here, which is why both paths ship.\n\n"
+            "hardest case for any sublinear ANN. At the shipped "
+            "operating points the two paths split by deployment shape, "
+            "not recall: IVF amortizes a persisted, partition-pruned "
+            "index (probe is the cheap steady state); multi-table LSH "
+            "needs no training and no stored index — the right tool "
+            "for one-shot sweeps.\n\n"
             "## Known per-query caveats (stable disclosures)\n\n"
             "- `cogroup_asof_lag` is deliberate API-surface coverage "
             "of cogrouped applyInPandas: ~1500 per-group pandas "
@@ -438,6 +516,15 @@ def main() -> None:
             "lsh_near_dup_pairs, hypertable_rollup) pay their cache "
             "write inside the timed region; the cache is what bounds "
             "them to one corpus scan at 100 TB.\n"
+            "- `incremental_dedup` composes the one-time 90%-corpus "
+            "index BUILD plus the 10%-delta probe in a single timed "
+            "number (same composition as `ann_ivf_topk`); the split "
+            "above is the number that matters at scale — the build "
+            "amortizes across every future increment.\n"
+            "- `sketch_estimates` recomputes EXACT per-cell distinct "
+            "counts alongside the HLL rollup by design (it is the "
+            "verification query for the rows-only `sketch_rollup`); "
+            "production reads the sketch table alone.\n"
         )
 
     print(json.dumps(result))

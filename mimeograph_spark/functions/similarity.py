@@ -104,6 +104,29 @@ def hyperplanes(dim: int, n_planes: int, seed: str = "mimeograph") -> list[list[
     return planes
 
 
+def lsh_sign_bits(vec_col_name: str, all_planes: list[list[float]]) -> Column:
+    """Sign bits for ALL planes in one expression: a single
+    `transform` over one foldable plane-matrix literal, one nested
+    zip_with/aggregate lambda.  Semantically identical to calling
+    `lsh_bucket` per plane set, but (a) the expression tree has 3
+    lambdas TOTAL instead of one zip_with+aggregate pair PER plane,
+    and (b) the whole thing is ONE F.expr round-trip instead of
+    thousands of py4j calls building 48x64 F.lit literals — at 6
+    tables x 8 planes the per-plane Column-API form spent ~9s of
+    DRIVER time constructing the plan for a sub-second job.  The D
+    suffix keeps each component a DOUBLE literal (a bare decimal is
+    DECIMAL in Spark SQL and would change the arithmetic)."""
+    mat = ",".join(
+        "array(" + ",".join(f"{c!r}D" for c in plane) + ")"
+        for plane in all_planes
+    )
+    return F.expr(
+        f"transform(array({mat}), plane -> CASE WHEN "
+        f"aggregate(zip_with({vec_col_name}, plane, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)"
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket string for a vector under the given planes."""
     bits = [
@@ -210,50 +233,130 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     probe_radius: int = 1,
+    n_tables: int = 1,
+    table_seed: str = "lsh",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH
-    bucket(s) are scored.  The query side probes every bucket within
-    Hamming distance `probe_radius` of its own (radius 1: n+1 buckets;
-    radius 2: 1 + n + n(n-1)/2), recovering the recall single-probe
-    loses for vectors that land just across one or two hyperplanes.
-    The probe expansion happens on the (broadcast) query side only, so
-    the corpus side stays a single bucketed pass with unchanged
-    shuffle volume — the multi-probe trade every production LSH index
-    makes (measured on the bench corpus: radius 1 -> 2 lifts recall
-    0.24 -> 0.38 at ~4x the scored candidates, still a small corpus
-    fraction).  For recall past ~0.4 on weakly-clustered embeddings
-    use `ivf_topk` — on this corpus its recall/candidate curve
-    dominates bucket LSH."""
+    """Approximate top-k: only corpus vectors sharing an LSH bucket
+    with the query (in any table, within the probe radius) are
+    scored.  Two independent recall knobs:
+
+    - `probe_radius`: the query side probes every bucket within that
+      Hamming distance of its own (radius 1: n+1 buckets; radius 2:
+      1 + n + n(n-1)/2).  Query-side expansion only — the corpus
+      side's shuffle volume is unchanged.
+    - `n_tables`: L independent hyperplane sets; a neighbor is a
+      candidate if ANY table co-buckets it (1-(1-p)^L recall lift).
+      The corpus emits L bucket rows per vector MAP-SIDE (the probe
+      join is broadcast, so no corpus shuffle grows), and duplicate
+      candidates are collapsed with a distinct on the small
+      (query_id, vec_id, cosine) triple before ranking.
+
+    Measured on the bench corpus (near-uniform embeddings, the
+    adversarial case): 1 table r2 -> recall 0.38 @ ~15% candidates;
+    6 tables r1 -> recall 0.77 @ ~20% — multi-table union beats
+    deeper multiprobe per candidate, and at this operating point the
+    fixed-hyperplane path matches IVF's recall (0.75 @ ~30%) at a
+    SMALLER candidate budget.  IVF remains the primary path when an
+    index can be persisted (its probe is partition-pruned); LSH needs
+    no training and no stored index — the right tool for one-shot
+    sweeps."""
     import itertools
 
     from pyspark.sql import Window
 
-    planes = hyperplanes(dim, n_planes)
+    if n_tables <= 1:
+        tbl_planes = [("", hyperplanes(dim, n_planes))]
+    else:
+        tbl_planes = [
+            (f"{t}:", hyperplanes(dim, n_planes, seed=f"{table_seed}:{t}"))
+            for t in range(n_tables)
+        ]
+    flat_planes = [pl for _p, planes in tbl_planes for pl in planes]
     cvec = F.col(vec_col).cast("array<double>")
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        cvec.alias("_cvec"),
-        lsh_bucket(cvec, planes).alias("bucket"),
-    ).withColumn("_cn", l2_norm(F.col("_cvec")))
-    qb = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        cvec.alias("_qvec"),
-        lsh_bucket(cvec, planes).alias("_b"),
-    ).withColumn("_qn", l2_norm(F.col("_qvec")))
-    flips = [F.col("_b")]
+
+    def table_bucket(ti: int, prefix: str) -> Column:
+        # slice this table's bits out of the staged all-planes column
+        b = F.array_join(
+            F.slice(F.col("_bits"), ti * n_planes + 1, n_planes), ""
+        )
+        return F.concat(F.lit(prefix), b) if prefix else b
+
+    cbuckets = [table_bucket(ti, p) for ti, (p, _pl) in enumerate(tbl_planes)]
+    c = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), cvec.alias("_cvec")
+        )
+        .select(
+            "vec_id",
+            "_cvec",
+            l2_norm(F.col("_cvec")).alias("_cn"),
+            lsh_sign_bits("_cvec", flat_planes).alias("_bits"),
+        )
+        .select(
+            "vec_id",
+            "_cvec",
+            "_cn",
+            (
+                F.explode(F.array(*cbuckets)) if len(cbuckets) > 1
+                else cbuckets[0]
+            ).alias("bucket"),
+        )
+    )
+
+    # stage each table's base bucket as a REAL column before building
+    # the flips: _flip_bits references the bucket string n_planes
+    # times per flip, and Catalyst inlines (not CSEs) repeated
+    # expressions
+    qb = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), cvec.alias("_qvec")
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            l2_norm(F.col("_qvec")).alias("_qn"),
+            lsh_sign_bits("_qvec", flat_planes).alias("_bits"),
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            "_qn",
+            *[
+                table_bucket(ti, "").alias(f"_b{ti}")
+                for ti in range(len(tbl_planes))
+            ],
+        )
+    )
+    # the probe list is one F.expr string (mirrors _flip_bits'
+    # per-character rebuild) — L*(1+flips) Column-API builds cost
+    # hundreds of py4j round-trips of pure driver latency
+    def flipped_sql(col: str, positions: set[int]) -> str:
+        parts = []
+        for i in range(1, n_planes + 1):
+            ch = f"substr({col}, {i}, 1)"
+            if i - 1 in positions:
+                ch = f"(CASE WHEN {ch} = '1' THEN '0' ELSE '1' END)"
+            parts.append(ch)
+        return " || ".join(parts)
+
+    flip_sets: list[set[int]] = [set()]
     if probe_radius >= 1:
-        flips += [
-            _flip_bits(F.col("_b"), {i}, n_planes) for i in range(n_planes)
-        ]
+        flip_sets += [{i} for i in range(n_planes)]
     if probe_radius >= 2:
-        flips += [
-            _flip_bits(F.col("_b"), {i, j}, n_planes)
-            for i, j in itertools.combinations(range(n_planes), 2)
+        flip_sets += [
+            {i, j} for i, j in itertools.combinations(range(n_planes), 2)
         ]
-    probes = F.array(*flips)
+    probe_exprs = []
+    for ti, (prefix, _planes) in enumerate(tbl_planes):
+        for ps in flip_sets:
+            e = f"_b{ti}" if not ps else f"({flipped_sql(f'_b{ti}', ps)})"
+            probe_exprs.append(f"'{prefix}' || {e}" if prefix else e)
     q = F.broadcast(
         qb.select(
-            "query_id", "_qvec", "_qn", F.explode(probes).alias("bucket")
+            "query_id", "_qvec", "_qn",
+            F.explode(
+                F.expr("array(" + ",".join(probe_exprs) + ")")
+            ).alias("bucket"),
         )
     )
     scored = c.join(q, on="bucket").select(
@@ -265,6 +368,10 @@ def lsh_topk(
             6,
         ).alias("cosine"),
     )
+    if len(tbl_planes) > 1:
+        # a pair co-bucketed in several tables scores identically in
+        # each (cosine rounded to 6dp) — distinct collapses them
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )

@@ -1136,55 +1136,84 @@ FROM ranked WHERE rank <= {k}
 
 
 def ann_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 5,
-                     modulus: int = 100, probe_radius: int = 1) -> str:
+                     modulus: int = 100, probe_radius: int = 1,
+                     n_tables: int = 1, table_seed: str = "lsh") -> str:
+    """Mirrors similarity.lsh_topk incl. the multi-table union: per
+    table a prefixed bucket string, per-table probe flips, and a
+    DISTINCT collapsing candidates co-bucketed in several tables
+    (rounded cosine is identical across tables, so the triple
+    dedupes exactly)."""
     import itertools
 
     from .functions.similarity import hyperplanes
 
-    planes = hyperplanes(dim, n_planes)
-    bits = " || ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(c) for c in plane)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for plane in planes
-    )
+    if n_tables <= 1:
+        tbl_planes = [("", hyperplanes(dim, n_planes))]
+    else:
+        tbl_planes = [
+            (f"{t}:", hyperplanes(dim, n_planes, seed=f"{table_seed}:{t}"))
+            for t in range(n_tables)
+        ]
 
-    def flipped(positions: set[int]) -> str:
+    def bits_expr(planes) -> str:
+        return " || ".join(
+            "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+            + ", ".join(repr(c) for c in plane)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for plane in planes
+        )
+
+    def flipped(bucket_col: str, positions: set[int]) -> str:
         # per-character rebuild mirroring similarity._flip_bits
         parts = []
         for i in range(1, n_planes + 1):
-            c = f"substr(bucket, {i}, 1)"
+            c = f"substr({bucket_col}, {i}, 1)"
             if i - 1 in positions:
                 c = f"(CASE WHEN {c} = '1' THEN '0' ELSE '1' END)"
             parts.append(c)
         return " || ".join(parts)
 
-    probe_selects = ["SELECT query_id, qvec, bucket FROM q"]
-    flip_sets: list[set[int]] = []
+    flip_sets: list[set[int]] = [set()]
     if probe_radius >= 1:
         flip_sets += [{i} for i in range(n_planes)]
     if probe_radius >= 2:
         flip_sets += [
             {i, j} for i, j in itertools.combinations(range(n_planes), 2)
         ]
-    for ps in flip_sets:
-        probe_selects.append(
-            f"SELECT query_id, qvec, {flipped(ps)} AS bucket FROM q"
+
+    corpus_buckets = []
+    probe_selects = []
+    for ti, (prefix, planes) in enumerate(tbl_planes):
+        corpus_buckets.append(
+            f"SELECT vec_id, vec, '{prefix}' || b{ti} AS bucket FROM b"
         )
+        for ps in flip_sets:
+            expr = f"b{ti}" if not ps else flipped(f"b{ti}", ps)
+            probe_selects.append(
+                f"SELECT query_id, qvec, '{prefix}' || ({expr}) "
+                "AS bucket FROM q"
+            )
+    bcols = ", ".join(
+        f"{bits_expr(planes)} AS b{ti}"
+        for ti, (_p, planes) in enumerate(tbl_planes)
+    )
+    qcols = ", ".join(f"b{ti}" for ti in range(len(tbl_planes)))
     return f"""
 WITH b AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec, {bits} AS bucket FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS vec, {bcols} FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, vec AS qvec, bucket FROM b
+  SELECT vec_id AS query_id, vec AS qvec, {qcols} FROM b
   WHERE vec_id % {modulus} = 0
+), cb AS (
+  {" UNION ALL ".join(corpus_buckets)}
 ), probes AS (
   {" UNION ALL ".join(probe_selects)}
 ), scored AS (
-  SELECT p.query_id, b.vec_id,
-         round(list_dot_product(b.vec, p.qvec)
-               / (sqrt(list_dot_product(b.vec, b.vec))
+  SELECT DISTINCT p.query_id, cb.vec_id,
+         round(list_dot_product(cb.vec, p.qvec)
+               / (sqrt(list_dot_product(cb.vec, cb.vec))
                   * sqrt(list_dot_product(p.qvec, p.qvec))), 6) AS cosine
-  FROM b JOIN probes p ON b.bucket = p.bucket
+  FROM cb JOIN probes p ON cb.bucket = p.bucket
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
@@ -2960,6 +2989,22 @@ SELECT n_vertices, n_edges, n_wedges, n_triangles,
                   THEN 3e0 * n_triangles / n_wedges
                   ELSE 0e0 END, 6) AS clustering
 FROM scal, ne, tri
+"""
+
+
+SKETCH_ESTIMATES_ORACLE = r"""
+WITH lv(resolution, secs) AS (
+  VALUES ('10 minutes', 600), ('1 hour', 3600), ('1 day', 86400)
+)
+SELECT lv.resolution,
+       make_timestamp(
+         CAST(floor(epoch(ts) / lv.secs) * lv.secs * 1000000 AS BIGINT)
+       ) AS window_start,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_5pct
+FROM events CROSS JOIN lv
+GROUP BY 1, 2, 3
 """
 
 
