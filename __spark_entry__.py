@@ -1134,6 +1134,20 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_increment(spark, path, new, k=16, bands=4, update=False)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (dedup.containment_pairs):
+    C = |A∩B| / min(|A|,|B|) over distinct 3-gram shingle sets, exact
+    within a df-capped inverted index — catches contained documents
+    (quote expansion, reposts-with-wrapper) that symmetric Jaccard
+    under-scores as |A|/|B| and MinHash banding then misses."""
+    from mimeograph_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        n=3, threshold=0.5, max_df=64,
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph PageRank (functions/linkgraph.pagerank), 5 rounds,
     damping 0.85, over a planted edge list: each doc links to 3
@@ -1164,6 +1178,35 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return pagerank(edges, iterations=5, damping=0.85)
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority (functions/linkgraph.hits), 5 rounds,
+    L1-normalized, over the same planted md5 edge list as
+    `pagerank`.  Per-round rounding keeps both engines bit-identical;
+    the oracle unrolls the mutual recursion as chained CTEs."""
+    from mimeograph_spark.functions.linkgraph import hits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"),
+    ).select(
+        F.col("doc_id").alias("src"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.col("j"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 520
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits(edges, iterations=5)
 
 
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,12 +1283,21 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase list embeds as an array literal, so the plan is one narrow
     scan with zero shuffles — the 100 TB shape for bounded policy
     lists; mode="join" (token-anchor broadcast join) covers huge
-    lists and is pinned equal by test."""
+    lists and is pinned equal by test.  The matched-phrase array is
+    stringified for the driver canonicalizer (list cells are
+    unhashable under its pandas sort); the library API keeps the
+    array."""
     from mimeograph_spark.functions.blocklist import blocklist_filter
 
-    return blocklist_filter(
+    out = blocklist_filter(
         _read(spark, sf_dir, "documents").select("doc_id", "text"),
         list(BLOCKLIST_PHRASES),
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("matched", ",").alias("matched"),
+        "n_matches",
+        "keep",
     )
 
 
@@ -1809,6 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new r6 + added r5; window head) ---
         "sketch_estimates": q_sketch_estimates,
+        "hits_scores": q_hits_scores,
+        "containment_pairs": q_containment_pairs,
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
@@ -2034,6 +2088,10 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": sql_oracles.HEAVY_HITTERS_ORACLE,
         "bigram_logprob": sql_oracles.BIGRAM_LOGPROB_ORACLE,
         "pagerank": sql_oracles.pagerank_sql(iterations=5, damping=0.85),
+        "hits_scores": sql_oracles.hits_sql(iterations=5),
+        "containment_pairs": sql_oracles.containment_pairs_sql(
+            n=3, threshold=0.5, max_df=64
+        ),
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "sketch_estimates": sql_oracles.SKETCH_ESTIMATES_ORACLE,
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),

@@ -1005,3 +1005,89 @@ def corpus_overlap(
         )
     )
     return register_persisted(exact.crossJoin(out), ha, hb)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 64,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: for each candidate pair the
+    score is C = |A ∩ B| / min(|A|, |B|) over distinct word n-gram
+    shingle sets — the measure that catches a document CONTAINED in
+    another (quote expansion, page aggregation, boilerplate-wrapped
+    reposts).  Symmetric Jaccard structurally under-scores these:
+    for A ⊂ B, J(A,B) = |A|/|B|, so a short doc embedded in a 10x
+    longer one scores 0.1 and slips every MinHash band, while its
+    containment is 1.0.
+
+    Exact within a df-capped inverted index (no MinHash estimate):
+    explode distinct shingle hashes, drop shingles present in more
+    than `max_df` docs (stopword-grams fan out quadratically while
+    identifying nothing — same cap discipline as the LSH buckets) or
+    fewer than 2 (can't pair), self-join per shingle, count common
+    shingles per pair, containment from the FULL stored set sizes.
+
+    Scale shape: the pair space is bounded by sum over kept shingles
+    of df^2 <= max_df * |postings| — linear in corpus size for fixed
+    max_df, never O(n_docs^2).  Two shuffles (shingle df, pair
+    groupBy), both map-side combined; the df filter is a semi-join
+    against a vocabulary-sized frame (equi-join, NOT broadcast — the
+    vocabulary outgrows any broadcast budget at corpus scale).
+    Dropped-shingle containment is therefore a floor: a pair sharing
+    only capped shingles is missed, disclosed the same way the LSH
+    bucket cap is.
+
+    Output: (id_a, id_b, common, size_a, size_b, containment),
+    id_a < id_b, containment rounded to 6, filtered to >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), n), shingle_hash)
+            )
+        ).alias("_sh"),
+    ).select(
+        "id",
+        F.size("_sh").cast("long").alias("sz"),
+        F.explode("_sh").alias("h"),
+    )
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("h")
+    )
+    exk = sh.join(keep, "h", "left_semi")
+    a, b = exk.alias("a"), exk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("size_a"),
+            F.col("b.sz").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "common",
+            "size_a",
+            "size_b",
+            F.round(
+                F.col("common") / F.least("size_a", "size_b"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -133,6 +133,108 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    out_round: int = 6,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over a directed
+    edge list: (node, hub, authority) for every node appearing as a
+    source or destination.  PageRank's complement for corpus
+    curation: authority finds the heavily-cited pages, hub finds the
+    directories/link farms pointing at them — a strong hub score
+    with a weak authority score is itself a curation signal (link
+    pages carry little training text).
+
+    Per round, L1-normalized:
+      auth'(v) = sum over u->v of hub(u);   auth = auth' / sum auth'
+      hub'(u)  = sum over u->v of auth(v);  hub  = hub'  / sum hub'
+    L1 rather than the textbook L2 norm: the ranking and fixed-point
+    direction are identical, and a plain sum is exactly mirrorable in
+    SQL while sqrt-of-sum-of-squares would compound FP-order noise
+    across engines.  Per-round rounding to ITER_ROUND is the same
+    determinism barrier pagerank uses.
+
+    Scale shape mirrors pagerank: edge list deduped and checkpointed
+    once; one round = two equi-joins onto the edges (src- then
+    dst-keyed — on a real cluster bucket the edge list both ways) +
+    two map-side-combined groupBys + two broadcast 1-row scalar
+    sums; the hub frame is checkpointed per round to truncate
+    lineage.  Nodes with no in-links hold authority 0 (kept, not
+    dropped), symmetric for hubs."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    hubs = nodes.crossJoin(n_total).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), ITER_ROUND).alias("hub")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            e.join(hubs.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        asum = F.broadcast(
+            araw.agg(F.coalesce(F.sum("_a"), F.lit(0.0)).alias("_s"))
+        )
+        auth = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(asum)
+            .select(
+                "node",
+                F.round(
+                    F.when(F.col("_s") > 0, F.coalesce("_a", F.lit(0.0)) / F.col("_s"))
+                    .otherwise(F.lit(0.0)),
+                    ITER_ROUND,
+                ).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        hraw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        hsum = F.broadcast(
+            hraw.agg(F.coalesce(F.sum("_h"), F.lit(0.0)).alias("_s"))
+        )
+        hubs = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(hsum)
+            .select(
+                "node",
+                F.round(
+                    F.when(F.col("_s") > 0, F.coalesce("_h", F.lit(0.0)) / F.col("_s"))
+                    .otherwise(F.lit(0.0)),
+                    ITER_ROUND,
+                ).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return hubs.join(auth, "node").select(
+        "node",
+        F.round("hub", out_round).alias("hub"),
+        F.round("auth", out_round).alias("authority"),
+    )
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

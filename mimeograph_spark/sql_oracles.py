@@ -2682,6 +2682,101 @@ def pagerank_sql(
     )
 
 
+def containment_pairs_sql(
+    n: int = 3, threshold: float = 0.5, max_df: int = 64
+) -> str:
+    """Mirrors dedup.containment_pairs: distinct shingle-hash sets,
+    df-capped inverted index, exact per-pair common counts,
+    containment vs the smaller FULL set."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform({_shingles_sql(n)},
+           s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))) AS shs
+  FROM toks
+), ex AS (
+  SELECT doc_id AS id, len(shs) AS sz, unnest(shs) AS h FROM sets
+), kept AS (
+  SELECT * FROM ex
+  QUALIFY count(*) OVER (PARTITION BY h) BETWEEN 2 AND {max_df}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(a.sz AS BIGINT) AS size_a, CAST(b.sz AS BIGINT) AS size_b
+  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2, 4, 5
+)
+SELECT id_a, id_b, common, size_a, size_b,
+       round(common / CAST(least(size_a, size_b) AS DOUBLE), 6)
+         AS containment
+FROM pairs
+WHERE round(common / CAST(least(size_a, size_b) AS DOUBLE), 6)
+      >= {threshold}
+"""
+
+
+def hits_sql(
+    iterations: int = 5, n_mod: int = 520, fanout: int = 3
+) -> str:
+    """Mirrors linkgraph.hits over the planted md5 edge list: the
+    mutual hub/authority recursion unrolled as chained CTEs, one
+    (join + group + L1 normalize) pair per round, identical
+    per-round round()ing to the Spark side."""
+    ctes = [
+        f"""edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           ('0x' || substr(md5(doc_id || ':' || j), 1, 8))::BIGINT
+             % {n_mod} AS dst
+    FROM documents, (SELECT unnest(range({fanout})) AS j)
+  ) WHERE src <> dst
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), meta AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), h0 AS MATERIALIZED (
+  SELECT node, round(1e0 / (SELECT n FROM meta), 10) AS hub FROM nodes
+)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""araw{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS a
+  FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
+), asum{i} AS MATERIALIZED (
+  SELECT coalesce(sum(a), 0e0) AS s FROM araw{i}
+), a{i} AS MATERIALIZED (
+  SELECT n.node,
+         round(CASE WHEN (SELECT s FROM asum{i}) > 0
+                    THEN coalesce(r.a, 0e0) / (SELECT s FROM asum{i})
+                    ELSE 0e0 END, 10) AS auth
+  FROM nodes n LEFT JOIN araw{i} r ON n.node = r.node
+), hraw{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS h
+  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+), hsum{i} AS MATERIALIZED (
+  SELECT coalesce(sum(h), 0e0) AS s FROM hraw{i}
+), h{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         round(CASE WHEN (SELECT s FROM hsum{i}) > 0
+                    THEN coalesce(r.h, 0e0) / (SELECT s FROM hsum{i})
+                    ELSE 0e0 END, 10) AS hub
+  FROM nodes n LEFT JOIN hraw{i} r ON n.node = r.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT h.node, round(h.hub, 6) AS hub, "
+        f"round(a.auth, 6) AS authority\n"
+        f"FROM h{iterations} h JOIN a{iterations - 1} a "
+        f"ON h.node = a.node"
+    )
+
+
 SIGNAL_AGREEMENT_ORACLE = r"""
 WITH sig AS (
   SELECT n_chars >= 120 AS a,
@@ -2915,7 +3010,8 @@ WITH base AS (
          )) AS matched
   FROM base
 )
-SELECT doc_id, matched,
+SELECT doc_id,
+       coalesce(array_to_string(matched, ','), '') AS matched,
        CAST(len(matched) AS BIGINT) AS n_matches,
        len(matched) = 0 AS keep
 FROM m

@@ -1484,6 +1484,104 @@ def test_pagerank_rejects_zero_iterations(spark):
         pagerank(df, iterations=0)
 
 
+def _py_hits(edges, iterations=5):
+    """Straight-line mirror of linkgraph.hits (L1 norm, per-round
+    rounding to 10, final rounding to 6)."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    hub = {v: round(1.0 / n, 10) for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        araw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            araw[t] += hub[s]
+        s_a = sum(araw.values())
+        auth = {
+            v: round(araw[v] / s_a if s_a > 0 else 0.0, 10)
+            for v in nodes
+        }
+        hraw = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            hraw[s] += auth[t]
+        s_h = sum(hraw.values())
+        hub = {
+            v: round(hraw[v] / s_h if s_h > 0 else 0.0, 10)
+            for v in nodes
+        }
+    return {
+        v: (round(hub[v], 6), round(auth[v], 6)) for v in nodes
+    }
+
+
+def test_hits_matches_python_mirror_and_separates_roles(spark):
+    """5 -> {1,2,3} makes 5 the dominant hub with zero authority;
+    3 (pointed at by everyone) dominates authority.  Scores are
+    L1-normalized so each family sums to ~1."""
+    edges = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3),
+        (5, 1), (5, 2), (5, 3),
+    ]
+    from mimeograph_spark.functions.linkgraph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df).collect()
+    got = {r["node"]: (r["hub"], r["authority"]) for r in rows}
+    assert got == _py_hits(edges)
+    hubs = {v: h for v, (h, _a) in got.items()}
+    auths = {v: a for v, (_h, a) in got.items()}
+    assert max(hubs, key=hubs.get) == 5
+    assert max(auths, key=auths.get) == 3
+    assert auths[5] == 0.0  # nothing points at 5
+    assert abs(sum(hubs.values()) - 1.0) < 1e-4
+    assert abs(sum(auths.values()) - 1.0) < 1e-4
+
+
+def test_containment_pairs_catches_contained_doc(spark):
+    """A short doc embedded verbatim in a much longer one has
+    containment 1.0 even though its Jaccard is far below any LSH
+    threshold — the case this operator exists for.  An unrelated doc
+    pairs with nothing."""
+    from mimeograph_spark.functions.dedup import containment_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i} filler{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            ("a", short),
+            ("b", filler + " " + short + " " + filler),
+            ("c", "completely different text about other topics entirely"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = containment_pairs(df, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [("a", "b")]
+    r = rows[0]
+    assert r["containment"] == 1.0
+    assert r["common"] == r["size_a"]  # every shingle of a is in b
+    # Jaccard of the same pair is far below the containment score
+    assert r["common"] / (r["size_a"] + r["size_b"] - r["common"]) < 0.2
+
+
+def test_containment_pairs_df_cap_drops_stopword_grams(spark):
+    """A shingle present in more than max_df docs is excluded from
+    the index: with max_df=2 a 3-way-shared shingle contributes to no
+    pair, so docs sharing ONLY that shingle never pair."""
+    from mimeograph_spark.functions.dedup import containment_pairs
+
+    common = "alpha beta gamma"
+    df = spark.createDataFrame(
+        [
+            ("a", common + " one two three"),
+            ("b", common + " four five six"),
+            ("c", common + " seven eight nine"),
+        ],
+        "doc_id string, text string",
+    )
+    assert containment_pairs(df, threshold=0.1, max_df=2).count() == 0
+    # raising the cap re-admits the shared shingle -> all 3 pairs
+    assert containment_pairs(df, threshold=0.1, max_df=3).count() == 3
+
+
 def test_triangle_stats_known_graph(spark):
     # K4 on {1..4} (4 triangles) + pendant edge 4-5 + isolated edge
     # 6-7; reversed duplicates, a self-loop, and an exact duplicate
