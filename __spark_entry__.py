@@ -1209,6 +1209,64 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=5)
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (functions/linkgraph.lpa_communities), 4 rounds, min-label
+    tie-break, over a planted md5 edge list on 260 integer nodes
+    (src = h(doc_id) % 260, three dsts per doc).  Deterministic by
+    construction; the oracle unrolls the rounds as chained CTEs."""
+    from mimeograph_spark.functions.linkgraph import lpa_communities
+
+    def h(col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("long") % 260
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(3)])).alias("j"),
+    ).select(
+        h(F.col("doc_id")).alias("src"),
+        h(F.concat_ws("#", F.col("doc_id"), F.col("j"))).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return lpa_communities(edges, iterations=4)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap pairs (functions/winnow):
+    MOSS-style min-per-window selection over ordered 4-gram hashes
+    (guaranteed to catch any shared run of >= k+w-1 tokens), then
+    df-capped inverted-index pair counts — the local-overlap
+    detector MinHash's whole-document estimate cannot provide."""
+    from mimeograph_spark.functions.winnow import winnow_pairs
+
+    return winnow_pairs(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=4, w=4, min_shared=2, max_df=64,
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law fit (functions/textstats.zipf_fit): OLS of
+    ln(frequency) on ln(rank) over the term-frequency table, ranked
+    by the two-phase count-class scheme (no global window).  One row
+    (n_terms, slope, intercept, r2)."""
+    from mimeograph_spark.functions.textstats import zipf_fit
+
+    return zipf_fit(_read(spark, sf_dir, "documents"))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (functions/funnel.event_transitions): (src, dst,
+    n_transitions, prob) with ties broken by event_id and the row
+    normalizer broadcast (never a window over the tiny src key)."""
+    from mimeograph_spark.functions.funnel import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census (functions/linkgraph.triangle_stats)
     over a planted md5 edge list: each doc contributes 4 random edges
@@ -1863,6 +1921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_estimates": q_sketch_estimates,
         "hits_scores": q_hits_scores,
         "containment_pairs": q_containment_pairs,
+        "lpa_communities": q_lpa_communities,
+        "winnow_pairs": q_winnow_pairs,
+        "zipf_fit": q_zipf_fit,
+        "event_transitions": q_event_transitions,
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
@@ -2092,6 +2154,12 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": sql_oracles.containment_pairs_sql(
             n=3, threshold=0.5, max_df=64
         ),
+        "lpa_communities": sql_oracles.lpa_communities_sql(iterations=4),
+        "winnow_pairs": sql_oracles.winnow_pairs_sql(
+            k=4, w=4, min_shared=2, max_df=64
+        ),
+        "zipf_fit": sql_oracles.ZIPF_FIT_ORACLE,
+        "event_transitions": sql_oracles.EVENT_TRANSITIONS_ORACLE,
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "sketch_estimates": sql_oracles.SKETCH_ESTIMATES_ORACLE,
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),

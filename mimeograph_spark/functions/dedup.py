@@ -1043,7 +1043,19 @@ def containment_pairs(
 
     Output: (id_a, id_b, common, size_a, size_b, containment),
     id_a < id_b, containment rounded to 6, filtered to >= threshold.
+
+    The exploded (id, sz, h) frame feeds THREE consumers (the df
+    count and both sides of the per-shingle self-join), so it is
+    persisted — narrow (3 columns) and the per-gram md5 upstream is
+    the expensive part; `ensure_compute_parallelism` decouples that
+    CPU-bound hashing from the input split count (a single-file
+    sandbox corpus otherwise hashes on one core).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..cacheutil import ensure_compute_parallelism, register_persisted
+
+    df = ensure_compute_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(
@@ -1055,7 +1067,7 @@ def containment_pairs(
         "id",
         F.size("_sh").cast("long").alias("sz"),
         F.explode("_sh").alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1078,7 +1090,7 @@ def containment_pairs(
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    return (
+    out = (
         pairs.select(
             "id_a",
             "id_b",
@@ -1091,3 +1103,4 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    return register_persisted(out, sh)

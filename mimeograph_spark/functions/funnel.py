@@ -168,3 +168,48 @@ def retention_cohorts(
         )
     )
     return register_persisted(out, activity)
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: (src, dst, n_transitions, prob) where prob is the
+    row-normalized P(next=dst | current=src).  The behavioral twin of
+    the funnel: funnels test ONE hypothesized path, the transition
+    matrix surfaces the paths users actually take (and its diagonal
+    exposes refresh loops / bot behavior).
+
+    Scale shape: one window over (user, ts, tiebreak) — partitioned
+    by user, so parallelism is user-cardinality, no global sort —
+    feeding one map-side-combined groupBy(src, dst).  The row
+    normalizer joins back as a BROADCAST of the per-src totals (the
+    event-type vocabulary is tiny by construction; a window over src
+    would collapse each src's transitions into one task — the skew
+    trap).  Timestamp ties are broken by `tiebreak_col` so "next" is
+    well-defined on both engines.  prob rounded to 6 (integer counts
+    divided — exact, but the round keeps parity with future weighted
+    variants)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    steps = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("src").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("prob"),
+    )

@@ -235,6 +235,82 @@ def hits(
     )
 
 
+def lpa_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over the
+    UNDIRECTED simple graph under `edges`: (node, community) after a
+    fixed number of rounds, labels initialized to node ids.  Where
+    connected components answer "is there ANY path" (dedup transitive
+    closure), LPA finds densely-linked regions — site sections, link
+    rings, mirror families — inside one giant web component.
+
+    Determinism: textbook LPA breaks count ties randomly and is
+    therefore unreproducible; here a tie on neighbor-label count is
+    broken toward the SMALLEST label, making the whole fixed-round
+    run a pure function of the edge list (cross-engine value-equal —
+    the DuckDB oracle unrolls the rounds with the identical
+    ORDER BY cnt DESC, label ASC rule).  Synchronous updates (all
+    nodes flip on round boundaries) rather than in-order sweeps, so
+    partitioning cannot change results.
+
+    Scale shape per round: one equi-join of labels onto the
+    undirected edge list (bucket both by node id on a real cluster)
+    + one map-side-combined groupBy(node, label) count + one argmax
+    folded into a second groupBy via max(struct(cnt, -label)) — no
+    windows, no collects; labels frame localCheckpointed per round to
+    truncate iterative lineage.  A celebrity node's in-edges collapse
+    to <= distinct-neighbor-labels rows in the partial aggregation."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        cnt = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # argmax(count) with min-label tie-break, folded into the
+        # aggregation itself: max(struct(cnt, -label)) — no window.
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_c"), (-F.col("label")).alias("_nl")
+                    )
+                ).alias("_m")
+            )
+            .select("node", (-F.col("_m._nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

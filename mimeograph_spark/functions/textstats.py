@@ -760,3 +760,87 @@ def trigram_backoff_logprob(
         )
     )
     return register_persisted(out, base)
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: one
+    row (n_terms, slope, intercept, r2) from an ordinary-least-squares
+    regression of ln(frequency) on ln(rank).  A natural-language
+    corpus sits near slope -1; a large deviation (flat slope =
+    templated/boilerplate vocabulary, steep = degenerate repetition)
+    is a cheap whole-corpus quality gate that catches generator bugs
+    and crawler traps no per-document filter sees.
+
+    Scale shape — the classic global-rank trap is avoided with the
+    same two-phase ranking ids.py uses, specialized to (count, term):
+    ranking the vocabulary with one row_number() OVER (ORDER BY cnt
+    DESC) would collapse the vocabulary into ONE task.  Instead:
+
+    1. term frequencies: one explode + map-side-combined groupBy
+       (corpus-sized scan, vocabulary-sized result);
+    2. count-CLASS sizes: groupBy(cnt) — a frame as small as the
+       number of DISTINCT frequencies (hundreds even for billions of
+       terms, since frequencies cluster);
+    3. a running-sum window over that tiny class frame gives each
+       class its starting rank offset (the only global window, over
+       <= n_classes rows);
+    4. broadcast-join offsets back and row_number() WITHIN each
+       count-class (partitioned window, parallel) — rank = offset +
+       within-class position, ties broken by term, so the rank
+       assignment is a pure function of the term-frequency multiset.
+
+    The OLS moments then reduce in one map-side-combined aggregate.
+    Final stats rounded to 6 (FP sum-order barrier, same convention
+    as bm25's round)."""
+    from pyspark.sql import Window
+
+    from .dedup import norm_tokens
+
+    tf = (
+        df.select(F.explode(norm_tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls = tf.groupBy("cnt").agg(F.count(F.lit(1)).alias("_nc"))
+    woff = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = cls.select(
+        "cnt",
+        F.coalesce(F.sum("_nc").over(woff), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    win = Window.partitionBy("cnt").orderBy("term")
+    ranked = tf.join(F.broadcast(off), "cnt").select(
+        F.log(F.col("_off") + F.row_number().over(win)).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    return mom.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(
+                (vx > 0) & (vy > 0), cov * cov / (vx * vy)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )

@@ -3530,3 +3530,137 @@ SELECT n_a, n_b, vocab,
        round(s_tv / (2.0 * a2 * b2), 6) AS tv
 FROM s
 """
+
+
+def winnow_pairs_sql(
+    k: int = 4, w: int = 4, min_shared: int = 2, max_df: int = 64
+) -> str:
+    """Mirrors winnow.winnow_pairs: ORDERED k-gram hash sequence,
+    min-per-window fingerprint selection, df-capped inverted index,
+    shared-fingerprint pair counts."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ntoks
+  FROM documents
+), h AS (
+  SELECT doc_id AS id,
+    list_transform(
+      CASE WHEN len(ntoks) >= {k}
+        THEN list_transform(generate_series(1, len(ntoks) - {k - 1}),
+               i -> array_to_string(ntoks[i:i+{k - 1}], ' '))
+        ELSE [array_to_string(ntoks, ' ')] END,
+      g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hs
+  FROM toks
+), fps AS (
+  SELECT id,
+    list_sort(list_distinct(
+      CASE WHEN len(hs) >= {w}
+        THEN list_transform(generate_series(1, len(hs) - {w - 1}),
+               i -> list_min(hs[i:i+{w - 1}]))
+        ELSE [list_min(hs)] END)) AS fp
+  FROM h
+), ex AS (
+  SELECT id, CAST(len(fp) AS BIGINT) AS n_fp, unnest(fp) AS hv
+  FROM fps
+), kept AS (
+  SELECT * FROM ex
+  QUALIFY count(*) OVER (PARTITION BY hv) BETWEEN 2 AND {max_df}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(count(*) AS BIGINT) AS shared,
+         a.n_fp AS n_fp_a, b.n_fp AS n_fp_b
+  FROM kept a JOIN kept b ON a.hv = b.hv AND a.id < b.id
+  GROUP BY 1, 2, 4, 5
+)
+SELECT id_a, id_b, shared, n_fp_a, n_fp_b,
+       round(shared / CAST(least(n_fp_a, n_fp_b) AS DOUBLE), 6)
+         AS overlap
+FROM pairs WHERE shared >= {min_shared}
+"""
+
+
+def lpa_communities_sql(
+    iterations: int = 4, n_mod: int = 260, fanout: int = 3
+) -> str:
+    """Mirrors linkgraph.lpa_communities over the planted md5 edge
+    list: synchronous rounds unrolled as chained CTEs, count-then-
+    min-label tie-break via the identical ORDER BY cnt DESC,
+    label ASC rule."""
+    ctes = [
+        f"""e AS (
+  SELECT src, dst FROM (
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {n_mod} AS src,
+           ('0x' || substr(md5(doc_id || '#' || j), 1, 8))::BIGINT
+             % {n_mod} AS dst
+    FROM documents, (SELECT unnest(range({fanout})) AS j)
+  ) WHERE src <> dst
+), und AS MATERIALIZED (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM und
+)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT u.src AS node, l.label, count(*) AS cnt
+  FROM und u JOIN l{i} l ON u.dst = l.node GROUP BY 1, 2
+), l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM c{i}
+  QUALIFY row_number() OVER (
+    PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, label AS community FROM l{iterations}"
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH tf AS (
+  SELECT term, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array({_NORM}, ' ')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY 1
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                 AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM tf
+), mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+             ELSE 0e0 END, 6) AS r2
+FROM mom
+"""
+
+
+EVENT_TRANSITIONS_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM steps WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions)
+             OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM counts
+"""

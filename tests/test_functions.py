@@ -1582,6 +1582,148 @@ def test_containment_pairs_df_cap_drops_stopword_grams(spark):
     assert containment_pairs(df, threshold=0.1, max_df=3).count() == 3
 
 
+def test_winnow_guarantee_and_short_doc(spark):
+    """The winnowing guarantee: any shared token run of length
+    >= k + w - 1 contributes at least one COMMON fingerprint, no
+    matter the surrounding context.  A doc shorter than k tokens
+    still yields exactly one (whole-text) fingerprint, and selection
+    density never exceeds the k-gram count."""
+    from mimeograph_spark.functions.winnow import winnow_fingerprints
+
+    k = w = 4
+    run = "one two three four five six seven"  # k + w - 1 = 7 tokens
+    df = spark.createDataFrame(
+        [
+            ("a", "left ctx alpha " + run + " beta right ctx"),
+            ("b", "totally other words " + run + " and more tail here"),
+            ("s", "tiny doc"),  # < k tokens
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["id"]: (r["n_kgrams"], set(r["fps"]))
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got["a"][1] & got["b"][1]  # guaranteed common fingerprint
+    assert got["s"][0] == 1 and len(got["s"][1]) == 1
+    for nk, fps in got.values():
+        assert 1 <= len(fps) <= nk
+
+
+def test_winnow_pairs_identical_docs_full_overlap(spark):
+    from mimeograph_spark.functions.winnow import winnow_pairs
+
+    text = " ".join(f"tok{i % 17} w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [("a", text), ("b", text), ("c", "unrelated filler " * 10)],
+        "doc_id string, text string",
+    )
+    rows = winnow_pairs(df, min_shared=1, max_df=8).collect()
+    assert [(r["id_a"], r["id_b"], r["overlap"]) for r in rows] == [
+        ("a", "b", 1.0)
+    ]
+
+
+def _py_lpa(edges, iterations=4):
+    """Straight-line mirror of linkgraph.lpa_communities: undirected
+    simple graph, synchronous rounds, count-max with min-label ties."""
+    und = set()
+    for s, t in edges:
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    nbrs: dict = {}
+    for s, t in und:
+        nbrs.setdefault(s, []).append(t)
+    labels = {v: v for v in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt: dict = {}
+            for u in ns:
+                cnt[labels[u]] = cnt.get(labels[u], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA separates them —
+    clique interiors end uniform, the two sides end different — and
+    the Spark result equals the synchronous python mirror exactly."""
+    from mimeograph_spark.functions.linkgraph import lpa_communities
+
+    cl_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl_a + cl_b + [(3, 10), (2, 2)]  # self-loop dropped
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(df, iterations=4).collect()
+    }
+    assert got == _py_lpa(edges)
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[11], got[12], got[13]}) == 1
+    assert got[0] != got[13]
+
+
+def test_zipf_fit_exact_small_corpus(spark):
+    """Known frequencies (a:4, b:2, c:1, d:1 — ranks 1,2,3,4 with the
+    c<d alphabetical tie-break) reproduce a hand-computed OLS."""
+    import math
+
+    from mimeograph_spark.functions.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [("a a A b", ), ("a b c d", )], "text string"
+    )
+    row = zipf_fit(df).collect()[0]
+    freqs = [4, 2, 1, 1]
+    xs = [math.log(r) for r in range(1, 5)]
+    ys = [math.log(c) for c in freqs]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row["n_terms"] == 4
+    assert row["slope"] == round(slope, 6)
+    assert row["intercept"] == round((sy - slope * sx) / n, 6)
+    assert row["r2"] == round(r2, 6)
+    assert row["slope"] < 0  # frequency falls with rank
+
+
+def test_event_transitions_counts_probs_and_tiebreak(spark):
+    """user 1: A->B->A->B (ts tie at the middle step broken by
+    event_id), user 2: A->A.  P(B|A)=2/3, P(A|A)=1/3, P(A|B)=1."""
+    from mimeograph_spark.functions.funnel import event_transitions
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 00:00:01", "B"),
+        (3, 1, "2024-01-01 00:00:02", "A"),
+        (4, 1, "2024-01-01 00:00:02", "B"),  # same ts as event 3
+        (10, 2, "2024-01-01 00:00:00", "A"),
+        (11, 2, "2024-01-01 00:00:05", "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, round(2 / 3, 6)),
+        ("A", "A"): (1, round(1 / 3, 6)),
+        ("B", "A"): (1, 1.0),
+    }
+
+
 def test_triangle_stats_known_graph(spark):
     # K4 on {1..4} (4 triangles) + pendant edge 4-5 + isolated edge
     # 6-7; reversed duplicates, a self-loop, and an exact duplicate
