@@ -1267,6 +1267,25 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_read(spark, sf_dir, "events"))
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk): m=8 subspace
+    codebooks of ksub=32 centroids (2 Lloyd rounds), micro-int ADC
+    shortlist of 100, exact cosine rerank to top-5.  The MEMORY axis
+    of the ANN trio: 256-byte vectors scan as 8-byte codes.  Recall
+    0.79 vs exact top-5 at 5% candidate budget on the bench corpus
+    (curve: 50->0.66, 100->0.79, 150->0.87, 200->0.91)."""
+    from mimeograph_spark.functions.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(
+        emb, queries, dim=64, m=8, ksub=32, init_step=15, iters=2,
+        shortlist=100, k=5,
+    )
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census (functions/linkgraph.triangle_stats)
     over a planted md5 edge list: each doc contributes 4 random edges
@@ -1922,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "containment_pairs": q_containment_pairs,
         "lpa_communities": q_lpa_communities,
+        "ann_pq_topk": q_ann_pq_topk,
         "winnow_pairs": q_winnow_pairs,
         "zipf_fit": q_zipf_fit,
         "event_transitions": q_event_transitions,
@@ -2155,6 +2175,10 @@ def oracle_sql() -> dict[str, str]:
             n=3, threshold=0.5, max_df=64
         ),
         "lpa_communities": sql_oracles.lpa_communities_sql(iterations=4),
+        "ann_pq_topk": sql_oracles.pq_topk_sql(
+            dim=64, m=8, ksub=32, init_step=15, iters=2,
+            shortlist=100, k=5,
+        ),
         "winnow_pairs": sql_oracles.winnow_pairs_sql(
             k=4, w=4, min_shared=2, max_df=64
         ),

@@ -892,3 +892,213 @@ def embedding_outliers(
         )
     )
     return register_persisted(out, base, dists)
+
+
+def _sq_l2(svv: Column, sv: Column, cent: Column, cc: Column) -> Column:
+    """Squared L2 via the dot-product identity ||a||^2 - 2ab + ||b||^2
+    with the norms STAGED (svv/cc): the three folds are the exact
+    expression DuckDB's list_dot_product evaluates, so the unrounded
+    double is bit-identical cross-engine (the direct (a-b)^2 fold has
+    no DuckDB twin with guaranteed order)."""
+    return svv - F.lit(2.0) * dot(sv, cent) + cc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 32,
+    init_step: int = 15,
+    iters: int = 2,
+    shortlist: int = 100,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou/Douze/Schmid, PAMI 2011):
+    per-subspace k-means codebooks -> m-byte codes per vector ->
+    asymmetric-distance (ADC) shortlist -> exact cosine rerank.
+
+    PQ is the MEMORY axis of the ANN trio: IVF prunes which
+    PARTITIONS a query reads, LSH prunes which BUCKETS, PQ shrinks
+    the per-vector bytes themselves — a 64-dim float vector (256 B
+    raw) becomes m=8 small-int codes (8 B), so a corpus whose raw
+    embeddings are 100 TB scans as ~3 TB of codes plus a broadcast
+    codebook of m*ksub rows.  Measured on the bench corpus (sf0.1,
+    2000 vecs): recall 0.79 vs exact top-5 at shortlist=100 (5%
+    candidate budget) — above IVF's 0.75 @ ~30% and LSH's 0.77 @
+    ~20%; curve: C=50 -> 0.66, C=100 -> 0.79, C=150 -> 0.87,
+    C=200 -> 0.91.
+
+    Plan shape:
+    - training/encode: ONE exploded (vec_id, s, subvec) frame
+      (persisted — it drives every Lloyd round and the final encode);
+      each round is one broadcast join against the m*ksub-row
+      codebook + one map-side-combined argmin (min_by, no window) +
+      one componentwise-mean aggregate; codebook localCheckpointed
+      per round.
+    - ADC: the query distance table (|Q| * m * ksub rows) broadcasts
+      against the CODES table only — the full vectors are never
+      touched until the rerank, which joins just |Q| * shortlist ids
+      back to the corpus.
+    - determinism: k-means assignment uses round(d, 6) + min-cid
+      ties (the IVF convention); ADC accumulates MICRO-INT distances
+      (CAST(round(d*1e6) AS BIGINT)) so the per-query sum is
+      order-free integer arithmetic — no FP-boundary flakes at the
+      shortlist cut; centroid means rounded to 6 per round.
+
+    Output: (query_id, vec_id, cosine, rank) — the shared ANN shape,
+    exact cosines of the reranked top-k."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def explode_sub(df: DataFrame, out_id: str) -> DataFrame:
+        sv = F.slice(F.col("v"), F.col("s") * dsub + 1, dsub)
+        return df.select(
+            F.col(df.columns[0]).alias(out_id),
+            F.explode(F.array([F.lit(s) for s in range(m)])).alias("s"),
+            "v",
+        ).select(
+            out_id, "s", sv.alias("sv")
+        ).withColumn("svv", dot(F.col("sv"), F.col("sv")))
+
+    sub = explode_sub(base, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    cb = (
+        sub.filter(
+            (F.col("vec_id") % init_step == 1)
+            & (F.col("vec_id") < init_step * ksub)
+        )
+        .select(
+            "s",
+            ((F.col("vec_id") - 1) / init_step).cast("int").alias("cid"),
+            F.col("sv").alias("cent"),
+            F.col("svv").alias("cc"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(cbf: DataFrame) -> DataFrame:
+        d = F.round(
+            _sq_l2(F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")),
+            6,
+        )
+        return (
+            sub.join(F.broadcast(cbf), "s")
+            .select("vec_id", "s", "sv", "cid", d.alias("_d"))
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "sv"),
+                    F.struct(F.col("_d"), F.col("cid")),
+                ).alias("_b")
+            )
+            .select(
+                "vec_id", "s",
+                F.col("_b.cid").alias("cid"),
+                F.col("_b.sv").alias("sv"),
+            )
+        )
+
+    for _ in range(iters):
+        means = (
+            assign(cb)
+            .groupBy("s", "cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("sv")[i]), 6).alias(f"_m{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .select(
+                "s", "cid",
+                F.array(*[F.col(f"_m{i}") for i in range(dsub)]).alias(
+                    "_mvec"
+                ),
+            )
+        )
+        cb = (
+            cb.join(means, ["s", "cid"], "left")
+            .select(
+                "s", "cid",
+                F.coalesce("_mvec", "cent").alias("cent"),
+            )
+            .withColumn("cc", dot(F.col("cent"), F.col("cent")))
+            .localCheckpoint()
+        )
+
+    codes = assign(cb).select("vec_id", "s", F.col("cid").alias("code"))
+
+    qbase = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    qsub = explode_sub(qbase, "query_id")
+    qtab = (
+        qsub.join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "cid",
+            F.round(
+                _sq_l2(
+                    F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("dmicro"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes["s"] == qtab["s"]) & (codes["code"] == qtab["cid"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qn = F.broadcast(
+        qbase.select("query_id", F.col("v").alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    rr = (
+        short.join(base, "vec_id")
+        .withColumn("_cn", l2_norm(F.col("v")))
+        .join(qn, "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    out = (
+        rr.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+    return register_persisted(out, base, sub)

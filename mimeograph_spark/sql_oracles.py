@@ -3664,3 +3664,100 @@ SELECT src, dst, n_transitions,
              OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
 FROM counts
 """
+
+
+def pq_topk_sql(
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 32,
+    init_step: int = 15,
+    iters: int = 2,
+    shortlist: int = 100,
+    k: int = 5,
+    modulus: int = 100,
+) -> str:
+    """Mirrors similarity.pq_topk: per-subspace Lloyd rounds unrolled
+    as CTEs (round(6) means, round(6)+min-cid assignment), micro-int
+    ADC sums, exact cosine rerank.  Squared L2 everywhere via the
+    staged dot-product identity so the doubles are bit-identical."""
+    dsub = dim // m
+    mean_list = ", ".join(
+        f"round(avg(sv[{i + 1}]), 6)" for i in range(dsub)
+    )
+    ctes = [
+        f"""base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sub AS MATERIALIZED (
+  SELECT vec_id, s,
+         v[s*{dsub}+1 : (s+1)*{dsub}] AS sv,
+         list_dot_product(v[s*{dsub}+1 : (s+1)*{dsub}],
+                          v[s*{dsub}+1 : (s+1)*{dsub}]) AS svv
+  FROM base, (SELECT unnest(range({m})) AS s)
+), cb0 AS MATERIALIZED (
+  SELECT s, CAST((vec_id - 1) / {init_step} AS INT) AS cid,
+         sv AS cent, svv AS cc
+  FROM sub
+  WHERE vec_id % {init_step} = 1 AND vec_id < {init_step * ksub}
+)"""
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, s, sv, cid FROM (
+    SELECT b.vec_id, b.s, b.sv, c.cid,
+           round(b.svv - 2 * list_dot_product(b.sv, c.cent) + c.cc,
+                 6) AS d
+    FROM sub b JOIN cb{r} c ON b.s = c.s
+  ) QUALIFY row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) = 1
+), mn{r} AS (
+  SELECT s, cid, [{mean_list}] AS cent FROM a{r} GROUP BY s, cid
+), cb{r + 1} AS MATERIALIZED (
+  SELECT c.s, c.cid, coalesce(mm.cent, c.cent) AS cent,
+         list_dot_product(coalesce(mm.cent, c.cent),
+                          coalesce(mm.cent, c.cent)) AS cc
+  FROM cb{r} c LEFT JOIN mn{r} mm ON c.s = mm.s AND c.cid = mm.cid
+)"""
+        )
+    ctes.append(
+        f"""codes AS MATERIALIZED (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT b.vec_id, b.s, c.cid,
+           round(b.svv - 2 * list_dot_product(b.sv, c.cent) + c.cc,
+                 6) AS d
+    FROM sub b JOIN cb{iters} c ON b.s = c.s
+  ) QUALIFY row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) = 1
+), qtab AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.s, c.cid,
+         CAST(round((q.svv - 2 * list_dot_product(q.sv, c.cent)
+                     + c.cc) * 1000000, 0) AS BIGINT) AS dmicro
+  FROM sub q JOIN cb{iters} c ON q.s = c.s
+  WHERE q.vec_id % {modulus} = 0
+), adc AS (
+  SELECT t.query_id, e.vec_id, sum(t.dmicro) AS adc_micro
+  FROM codes e JOIN qtab t ON t.s = e.s AND t.cid = e.code
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, vec_id FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_micro ASC, vec_id ASC)
+    <= {shortlist}
+), rr AS (
+  SELECT sh.query_id, sh.vec_id,
+         round(list_dot_product(b.v, q.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+  FROM short sh
+  JOIN base b ON sh.vec_id = b.vec_id
+  JOIN base q ON sh.query_id = q.vec_id
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank\n"
+        f"FROM (SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        f"      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)\n"
+        f"WHERE rank <= {k}"
+    )

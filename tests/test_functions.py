@@ -1724,6 +1724,51 @@ def test_event_transitions_counts_probs_and_tiebreak(spark):
     }
 
 
+def test_pq_topk_recovers_separated_clusters(spark):
+    """Three well-separated clusters (orthogonal corners of R^8 with
+    small deterministic within-cluster jitter): every query's top-5
+    comes from its own cluster, and the query itself (queries are
+    corpus members) reranks to rank 1 with cosine 1.0."""
+    from mimeograph_spark.functions.similarity import pq_topk
+
+    rows = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 3) % 8] = 0.01 * i  # deterministic jitter
+            rows.append((c * 20 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 20 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # init ids 1, 18, 35, 52 span all three clusters (a degenerate
+    # all-in-one-cluster seed can merge two corners at ksub this low)
+    got = pq_topk(
+        df, queries, dim=8, m=2, ksub=4, init_step=17, iters=2,
+        shortlist=10, k=5,
+    ).collect()
+    assert len(got) == 15  # 3 queries x top-5
+    for r in got:
+        assert r["vec_id"] // 20 == r["query_id"] // 20  # own cluster
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+            assert r["cosine"] == 1.0
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    import pytest
+
+    from mimeograph_spark.functions.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pq_topk(df, df.selectExpr("vec_id as query_id", "embedding"),
+                dim=10, m=3)
+
+
 def test_triangle_stats_known_graph(spark):
     # K4 on {1..4} (4 triangles) + pendant edge 4-5 + isolated edge
     # 6-7; reversed duplicates, a self-loop, and an exact duplicate
