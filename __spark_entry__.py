@@ -1286,6 +1286,16 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event paths (functions/funnel.top_event_paths):
+    chained lead()s over one per-user window, map-side-combined path
+    counts, deterministic (n DESC, path ASC) top-k over the
+    vocabulary-bounded count frame."""
+    from mimeograph_spark.functions.funnel import top_event_paths
+
+    return top_event_paths(_read(spark, sf_dir, "events"))
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census (functions/linkgraph.triangle_stats)
     over a planted md5 edge list: each doc contributes 4 random edges
@@ -1945,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "zipf_fit": q_zipf_fit,
         "event_transitions": q_event_transitions,
+        "top_event_paths": q_top_event_paths,
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
@@ -2184,6 +2195,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zipf_fit": sql_oracles.ZIPF_FIT_ORACLE,
         "event_transitions": sql_oracles.EVENT_TRANSITIONS_ORACLE,
+        "top_event_paths": sql_oracles.top_event_paths_sql(
+            length=3, top_k=20
+        ),
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "sketch_estimates": sql_oracles.SKETCH_ESTIMATES_ORACLE,
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),

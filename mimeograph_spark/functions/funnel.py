@@ -213,3 +213,48 @@ def event_transitions(
         "n_transitions",
         F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("prob"),
     )
+
+
+def top_event_paths(
+    events: DataFrame,
+    length: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Most-travelled length-`length` event paths: (path, n, rank) for
+    the top_k most frequent consecutive event-type sequences across
+    all users — the unsupervised complement of `funnel_steps` (which
+    tests ONE hypothesized path) and the n-step extension of
+    `event_transitions`.
+
+    Scale shape: length-1 chained lead() calls over ONE per-user
+    window (Catalyst collapses same-window functions into a single
+    Window node, so the per-user sort is paid once), then a
+    map-side-combined groupBy over the concatenated path.  The final
+    top-k window is GLOBAL but runs over the path-COUNT frame, whose
+    size is bounded by |event-type vocabulary|^length (hundreds), not
+    by the event count — the corpus-sized data never sees a global
+    sort.  Count ties break lexicographically by path so the cut is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    paths = events.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select("path", "n", "rank")
+    )

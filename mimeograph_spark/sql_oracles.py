@@ -3761,3 +3761,27 @@ def pq_topk_sql(
         f"      ORDER BY cosine DESC, vec_id ASC) AS rank FROM rr)\n"
         f"WHERE rank <= {k}"
     )
+
+
+def top_event_paths_sql(length: int = 3, top_k: int = 20) -> str:
+    """Mirrors funnel.top_event_paths: chained lead()s, '>'-joined
+    path, count, deterministic (n DESC, path ASC) top-k."""
+    leads = ["event_type"] + [
+        f"lead(event_type, {i}) OVER w" for i in range(1, length)
+    ]
+    path = " || '>' || ".join(leads)
+    return f"""
+WITH steps AS (
+  SELECT {path} AS path,
+         lead(event_type, {length - 1}) OVER w AS _last
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE _last IS NOT NULL GROUP BY 1
+)
+SELECT path, n, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+  FROM counts
+) WHERE rank <= {top_k}
+"""

@@ -1769,6 +1769,30 @@ def test_pq_topk_rejects_indivisible_dim(spark):
                 dim=10, m=3)
 
 
+def test_top_event_paths_counts_and_ties(spark):
+    """user 1: A,B,C,A,B,C -> paths A>B>C x2, B>C>A, C>A>B;
+    user 2: A,B,C -> A>B>C again.  Ties rank lexicographically."""
+    from mimeograph_spark.functions.funnel import top_event_paths
+
+    rows = [
+        (i, 1, f"2024-01-01 00:00:0{i}", t)
+        for i, t in enumerate("ABCABC")
+    ] + [
+        (10 + i, 2, f"2024-01-01 01:00:0{i}", t)
+        for i, t in enumerate("ABC")
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [
+        (r["path"], r["n"], r["rank"])
+        for r in top_event_paths(df, length=3, top_k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("A>B>C", 3, 1), ("B>C>A", 1, 2), ("C>A>B", 1, 3)]
+
+
 def test_triangle_stats_known_graph(spark):
     # K4 on {1..4} (4 triangles) + pendant edge 4-5 + isolated edge
     # 6-7; reversed duplicates, a self-loop, and an exact duplicate
