@@ -543,7 +543,32 @@ def main() -> None:
             "production reads the sketch table alone.\n"
         )
 
-    print(json.dumps(result))
+    # The round driver captures only the LAST 2000 characters of
+    # stdout and parses the JSON line out of that window: round 5's
+    # line (95 timed queries) crossed 2000 chars and the truncated
+    # line failed to parse, losing the round's numbers (BENCH_r05.json
+    # "parsed": null; r4's line was 1952 chars — just under).  So the
+    # PRINTED line carries the most expensive queries only, packed
+    # greedily under a hard budget, plus aggregate stats; the complete
+    # per-query table still lands in BENCH/queries.json and the
+    # BENCH/BASELINE.md table.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "queries.json"), "w") as f:
+        json.dump(queries, f, indent=1, sort_keys=True)
+    full = dict(result)
+    full["queries_timed"] = len(queries)
+    full["queries_sec_total"] = round(sum(queries.values()), 3)
+    full["queries_full"] = "BENCH/queries.json"
+    by_cost = sorted(queries.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    for name, sec in by_cost:
+        shown[name] = sec
+        full["queries"] = shown
+        if len(json.dumps(full)) > 1800:
+            del shown[name]
+            full["queries"] = shown
+            break
+    print(json.dumps(full))
 
 
 if __name__ == "__main__":
