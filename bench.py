@@ -250,6 +250,45 @@ def _ivf_split_times(spark) -> tuple[float, float]:
     return round(build, 3), round(probe_best, 3)
 
 
+def _pq_split_times(spark) -> tuple[float, float]:
+    """Codebook-train+encode vs per-batch ADC-probe wall time for the
+    persisted PQ pair — the amortization the composed `ann_pq_topk`
+    timing conflates: build is paid once, probe is the steady-state
+    query cost against the 32x-smaller codes table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mimeograph_spark.functions.similarity import (
+        build_pq_index,
+        pq_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="pq-bench-")
+    try:
+        start = time.perf_counter()
+        idx = build_pq_index(
+            emb, path, dim=64, m=8, ksub=32, init_step=15, iters=2
+        )
+        build = time.perf_counter() - start
+        queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        probe_best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            pq_probe(idx, queries, emb, shortlist=100, k=5).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            probe = time.perf_counter() - start
+            probe_best = probe if probe_best is None else min(probe_best, probe)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return round(build, 3), round(probe_best, 3)
+
+
 def _incdedup_split_times(spark) -> tuple[float, float]:
     """Index-build vs per-increment probe wall time for the
     incremental LSH dedup pair — the amortization the composed
@@ -359,6 +398,7 @@ def main() -> None:
     queries = _time_queries(spark)
     ann_recall = _ann_recall(spark)
     ivf_build_sec, ivf_probe_sec = _ivf_split_times(spark)
+    pq_build_sec, pq_probe_sec = _pq_split_times(spark)
     incdedup_build_sec, incdedup_probe_sec = _incdedup_split_times(spark)
     spark.stop()
 
@@ -378,6 +418,8 @@ def main() -> None:
         "ann_pq_recall_vs_exact": ann_recall["ann_pq_topk"],
         "ivf_build_sec": ivf_build_sec,
         "ivf_probe_sec": ivf_probe_sec,
+        "pq_build_sec": pq_build_sec,
+        "pq_probe_sec": pq_probe_sec,
         "incdedup_build_sec": incdedup_build_sec,
         "incdedup_probe_sec": incdedup_probe_sec,
         "scaling": {
@@ -501,6 +543,16 @@ def main() -> None:
             "plan-pinned by test_ivf_probe_prunes_cells). The "
             "`ann_ivf_topk` per-query number above composes BOTH "
             "phases end-to-end.\n\n"
+            f"- Persisted-PQ split (build_pq_index / pq_probe): "
+            f"codebook train + encode **{pq_build_sec}s** (paid once: "
+            "2 Lloyd rounds per subspace + full-corpus assignment, "
+            "persisted codes table), per-batch ADC probe "
+            f"**{pq_probe_sec}s** (steady-state: broadcast query "
+            "distance table against the 32x-smaller codes table; full "
+            "vectors touched only for the |Q| x 100 rerank lookups). "
+            "The `ann_pq_topk` per-query number above composes BOTH "
+            "phases end-to-end; probe==composed equality is "
+            "test-pinned.\n"
             f"- Incremental-dedup split (build_lsh_index / "
             f"lsh_increment): index build **{incdedup_build_sec}s** "
             "(paid once over the indexed 90% of the corpus: "

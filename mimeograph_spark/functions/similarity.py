@@ -903,6 +903,168 @@ def _sq_l2(svv: Column, sv: Column, cent: Column, cc: Column) -> Column:
     return svv - F.lit(2.0) * dot(sv, cent) + cc
 
 
+def _pq_explode_sub(df: DataFrame, out_id: str, m: int, dsub: int) -> DataFrame:
+    """(id, v) -> (id, s, sv, svv): one row per subspace with the
+    subvector and its staged self-dot."""
+    sv = F.slice(F.col("v"), F.col("s") * dsub + 1, dsub)
+    return df.select(
+        F.col(df.columns[0]).alias(out_id),
+        F.explode(F.array([F.lit(s) for s in range(m)])).alias("s"),
+        "v",
+    ).select(
+        out_id, "s", sv.alias("sv")
+    ).withColumn("svv", dot(F.col("sv"), F.col("sv")))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest sub-centroid per (vector, subspace): broadcast join
+    against the m*ksub codebook + map-side-combined min_by argmin
+    (round(d,6) + min-cid ties — the IVF determinism convention)."""
+    d = F.round(
+        _sq_l2(F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")), 6
+    )
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select("s", sub.columns[0], "sv", "cid", d.alias("_d"))
+        .groupBy(sub.columns[0], "s")
+        .agg(
+            F.min_by(
+                F.struct("cid", "sv"),
+                F.struct(F.col("_d"), F.col("cid")),
+            ).alias("_b")
+        )
+        .select(
+            sub.columns[0], "s",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.sv").alias("sv"),
+        )
+    )
+
+
+def _pq_train(
+    sub: DataFrame, ksub: int, init_step: int, iters: int, dsub: int
+) -> DataFrame:
+    """Per-subspace Lloyd training over the exploded frame: codebook
+    (s, cid, cent, cc), deterministic arithmetic init, round(6) means,
+    empty cells keep their centroid, localCheckpoint per round."""
+    cb = (
+        sub.filter(
+            (F.col(sub.columns[0]) % init_step == 1)
+            & (F.col(sub.columns[0]) < init_step * ksub)
+        )
+        .select(
+            "s",
+            ((F.col(sub.columns[0]) - 1) / init_step)
+            .cast("int")
+            .alias("cid"),
+            F.col("sv").alias("cent"),
+            F.col("svv").alias("cc"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        means = (
+            _pq_assign(sub, cb)
+            .groupBy("s", "cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("sv")[i]), 6).alias(f"_m{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .select(
+                "s", "cid",
+                F.array(*[F.col(f"_m{i}") for i in range(dsub)]).alias(
+                    "_mvec"
+                ),
+            )
+        )
+        cb = (
+            cb.join(means, ["s", "cid"], "left")
+            .select(
+                "s", "cid",
+                F.coalesce("_mvec", "cent").alias("cent"),
+            )
+            .withColumn("cc", dot(F.col("cent"), F.col("cent")))
+            .localCheckpoint()
+        )
+    return cb
+
+
+def _pq_adc_topk(
+    codes: DataFrame,
+    cb: DataFrame,
+    qbase: DataFrame,
+    rerank_base: DataFrame,
+    m: int,
+    dsub: int,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """ADC shortlist + exact cosine rerank: micro-int distance table
+    per (query, subspace, centroid) broadcast against the codes table;
+    only the |Q| x shortlist survivors ever touch full vectors."""
+    from pyspark.sql import Window
+
+    qsub = _pq_explode_sub(qbase, "query_id", m, dsub)
+    qtab = (
+        qsub.join(F.broadcast(cb), "s")
+        .select(
+            "query_id", "s", "cid",
+            F.round(
+                _sq_l2(
+                    F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("dmicro"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtab),
+            (codes["s"] == qtab["s"]) & (codes["code"] == qtab["cid"]),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dmicro").alias("adc_micro"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("vec_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qn = F.broadcast(
+        qbase.select("query_id", F.col("v").alias("_qv"))
+        .withColumn("_qn", l2_norm(F.col("_qv")))
+    )
+    rr = (
+        short.join(rerank_base, "vec_id")
+        .withColumn("_cn", l2_norm(F.col("v")))
+        .join(qn, "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -949,9 +1111,12 @@ def pq_topk(
       order-free integer arithmetic — no FP-boundary flakes at the
       shortlist cut; centroid means rounded to 6 per round.
 
+    This composes training + encode + query end-to-end (the driver
+    query's honest shape); `build_pq_index` / `pq_probe` split the
+    amortization — train+encode once, probe per batch.
+
     Output: (query_id, vec_id, cosine, rank) — the shared ANN shape,
     exact cosines of the reranked top-k."""
-    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     if dim % m != 0:
@@ -962,143 +1127,124 @@ def pq_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def explode_sub(df: DataFrame, out_id: str) -> DataFrame:
-        sv = F.slice(F.col("v"), F.col("s") * dsub + 1, dsub)
-        return df.select(
-            F.col(df.columns[0]).alias(out_id),
-            F.explode(F.array([F.lit(s) for s in range(m)])).alias("s"),
-            "v",
-        ).select(
-            out_id, "s", sv.alias("sv")
-        ).withColumn("svv", dot(F.col("sv"), F.col("sv")))
-
-    sub = explode_sub(base, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
-
-    cb = (
-        sub.filter(
-            (F.col("vec_id") % init_step == 1)
-            & (F.col("vec_id") < init_step * ksub)
-        )
-        .select(
-            "s",
-            ((F.col("vec_id") - 1) / init_step).cast("int").alias("cid"),
-            F.col("sv").alias("cent"),
-            F.col("svv").alias("cc"),
-        )
-        .localCheckpoint()
+    sub = _pq_explode_sub(base, "vec_id", m, dsub).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-
-    def assign(cbf: DataFrame) -> DataFrame:
-        d = F.round(
-            _sq_l2(F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")),
-            6,
-        )
-        return (
-            sub.join(F.broadcast(cbf), "s")
-            .select("vec_id", "s", "sv", "cid", d.alias("_d"))
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "sv"),
-                    F.struct(F.col("_d"), F.col("cid")),
-                ).alias("_b")
-            )
-            .select(
-                "vec_id", "s",
-                F.col("_b.cid").alias("cid"),
-                F.col("_b.sv").alias("sv"),
-            )
-        )
-
-    for _ in range(iters):
-        means = (
-            assign(cb)
-            .groupBy("s", "cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.col("sv")[i]), 6).alias(f"_m{i}")
-                    for i in range(dsub)
-                ]
-            )
-            .select(
-                "s", "cid",
-                F.array(*[F.col(f"_m{i}") for i in range(dsub)]).alias(
-                    "_mvec"
-                ),
-            )
-        )
-        cb = (
-            cb.join(means, ["s", "cid"], "left")
-            .select(
-                "s", "cid",
-                F.coalesce("_mvec", "cent").alias("cent"),
-            )
-            .withColumn("cc", dot(F.col("cent"), F.col("cent")))
-            .localCheckpoint()
-        )
-
-    codes = assign(cb).select("vec_id", "s", F.col("cid").alias("code"))
-
+    cb = _pq_train(sub, ksub, init_step, iters, dsub)
+    codes = _pq_assign(sub, cb).select(
+        "vec_id", "s", F.col("cid").alias("code")
+    )
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).localCheckpoint()
-    qsub = explode_sub(qbase, "query_id")
-    qtab = (
-        qsub.join(F.broadcast(cb), "s")
-        .select(
-            "query_id", "s", "cid",
-            F.round(
-                _sq_l2(
-                    F.col("svv"), F.col("sv"), F.col("cent"), F.col("cc")
-                )
-                * 1e6,
-                0,
-            )
-            .cast("long")
-            .alias("dmicro"),
-        )
-    )
-    adc = (
-        codes.join(
-            F.broadcast(qtab),
-            (codes["s"] == qtab["s"]) & (codes["code"] == qtab["cid"]),
-        )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("dmicro").alias("adc_micro"))
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_micro"), F.asc("vec_id")
-    )
-    short = (
-        adc.withColumn("_r", F.row_number().over(ws))
-        .filter(F.col("_r") <= shortlist)
-        .select("query_id", "vec_id")
-    )
-    qn = F.broadcast(
-        qbase.select("query_id", F.col("v").alias("_qv"))
-        .withColumn("_qn", l2_norm(F.col("_qv")))
-    )
-    rr = (
-        short.join(base, "vec_id")
-        .withColumn("_cn", l2_norm(F.col("v")))
-        .join(qn, "query_id")
-        .select(
-            "query_id", "vec_id",
-            F.round(
-                dot(F.col("v"), F.col("_qv"))
-                / (F.col("_cn") * F.col("_qn")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id")
-    )
-    out = (
-        rr.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    out = _pq_adc_topk(codes, cb, qbase, base, m, dsub, shortlist, k)
     return register_persisted(out, base, sub)
+
+
+class PqIndex:
+    """Handle to a persisted PQ index: `path/codebook` (m*ksub rows:
+    s, cid, cent, cc), `path/codes` (one (vec_id, s, code) row per
+    vector-subspace — the 8-bytes-per-vector table every ADC scan
+    reads INSTEAD of the raw embeddings), and `path/meta.json` pinning
+    the build geometry so a probe can't silently run with mismatched
+    m/dim/ksub."""
+
+    def __init__(self, path: str, dim: int, m: int, ksub: int):
+        self.path = path
+        self.dim = dim
+        self.m = m
+        self.ksub = ksub
+
+    @property
+    def codebook_path(self) -> str:
+        return f"{self.path}/codebook"
+
+    @property
+    def codes_path(self) -> str:
+        return f"{self.path}/codes"
+
+    @classmethod
+    def load(cls, path: str) -> "PqIndex":
+        import json
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        return cls(path, meta["dim"], meta["m"], meta["ksub"])
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 32,
+    init_step: int = 15,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PqIndex:
+    """Train + encode once, persist: the amortization half of PQ.
+    The expensive part (Lloyd rounds + final assignment over the full
+    corpus) is paid at build time; every query batch afterwards reads
+    the 32x-smaller codes table and the tiny codebook.  On a real
+    cluster the codes table inherits the corpus's partitioning — the
+    ADC scan is embarrassingly parallel and the per-query state is a
+    broadcast distance table."""
+    import json
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    dsub = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sub = _pq_explode_sub(base, "vec_id", m, dsub).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cb = _pq_train(sub, ksub, init_step, iters, dsub)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    _pq_assign(sub, cb).select(
+        "vec_id", "s", F.col("cid").alias("code")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    sub.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump({"dim": dim, "m": m, "ksub": ksub}, f)
+    return PqIndex(path, dim, m, ksub)
+
+
+def pq_probe(
+    index: PqIndex,
+    queries: DataFrame,
+    corpus: DataFrame,
+    shortlist: int = 100,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Steady-state PQ query against a persisted index: read the
+    codebook (broadcast) and the codes table, ADC-shortlist, rerank
+    exactly against `corpus` (point lookups of |Q| x shortlist ids —
+    the only touch of full vectors).  Identical results to the
+    composed pq_topk at the same geometry (pinned by test)."""
+    spark = queries.sparkSession
+    dsub = index.dim // index.m
+    cb = spark.read.parquet(index.codebook_path)
+    codes = spark.read.parquet(index.codes_path)
+    qbase = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    rerank_base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return _pq_adc_topk(
+        codes, cb, qbase, rerank_base, index.m, dsub, shortlist, k
+    )

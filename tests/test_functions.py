@@ -1756,6 +1756,42 @@ def test_pq_topk_recovers_separated_clusters(spark):
             assert r["cosine"] == 1.0
 
 
+def test_pq_index_probe_equals_composed(spark, tmp_path):
+    """build_pq_index + pq_probe returns exactly what the composed
+    pq_topk returns at the same geometry — the persisted index is an
+    amortization, never a different answer."""
+    from mimeograph_spark.functions.similarity import (
+        PqIndex,
+        build_pq_index,
+        pq_probe,
+        pq_topk,
+    )
+
+    rows = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 3) % 8] = 0.01 * i
+            rows.append((c * 20 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 20 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=8, m=2, ksub=4, init_step=17, iters=2)
+    composed = sorted(
+        map(tuple, pq_topk(df, queries, shortlist=10, k=5, **kw).collect())
+    )
+    path = str(tmp_path / "pq")
+    build_pq_index(df, path, **kw)
+    idx = PqIndex.load(path)  # meta round-trip
+    assert (idx.dim, idx.m, idx.ksub) == (8, 2, 4)
+    probed = sorted(
+        map(tuple, pq_probe(idx, queries, df, shortlist=10, k=5).collect())
+    )
+    assert probed == composed
+
+
 def test_pq_topk_rejects_indivisible_dim(spark):
     import pytest
 
