@@ -1286,6 +1286,42 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host-contracted page graph
+    (functions/linkgraph.weighted_pagerank): planted md5 page edges
+    on 2000 pages, pages mapped to 40 hosts by modulo, parallel
+    page edges collapsed to a weight — the Common Crawl domain-rank
+    shape, where link multiplicity is the signal unweighted PageRank
+    on the contracted graph would discard."""
+    from mimeograph_spark.functions.linkgraph import weighted_pagerank
+
+    def h(col: F.Column) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.explode(F.array([F.lit(j) for j in range(4)])).alias("j"),
+    ).select(
+        (h(F.col("doc_id")) % 2000).alias("src"),
+        (h(F.concat_ws("@", F.col("doc_id"), F.col("j"))) % 2000).alias(
+            "dst"
+        ),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    hosts = (
+        pages.select(
+            (F.col("src") % 40).alias("src"),
+            (F.col("dst") % 40).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return weighted_pagerank(hosts, iterations=5, damping=0.85)
+
+
 def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 length-3 event paths (functions/funnel.top_event_paths):
     chained lead()s over one per-user window, map-side-combined path
@@ -1956,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "event_transitions": q_event_transitions,
         "top_event_paths": q_top_event_paths,
+        "host_pagerank": q_host_pagerank,
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
@@ -2197,6 +2234,10 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": sql_oracles.EVENT_TRANSITIONS_ORACLE,
         "top_event_paths": sql_oracles.top_event_paths_sql(
             length=3, top_k=20
+        ),
+        "host_pagerank": sql_oracles.host_pagerank_sql(
+            iterations=5, damping=0.85, n_pages=2000, n_hosts=40,
+            fanout=4,
         ),
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "sketch_estimates": sql_oracles.SKETCH_ESTIMATES_ORACLE,

@@ -235,6 +235,116 @@ def hits(
     )
 
 
+def weighted_pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    iterations: int = 5,
+    damping: float = 0.85,
+    out_round: int = 6,
+) -> DataFrame:
+    """PageRank over a WEIGHTED edge list — the host-graph form: when
+    a page graph is contracted to its hosts (every page mapped to its
+    domain, parallel edges collapsed to a count), the multiplicity IS
+    the signal, and unweighted PageRank on the contracted graph would
+    rank a host linked once from 10^6 pages of one domain equal to a
+    host linked from 10^6 distinct domains.  Common Crawl's published
+    domain ranks are computed on exactly this contracted weighted
+    graph.
+
+    Semantics: rank flows proportionally to edge weight —
+      rank_{i+1}(v) = (1-d)/N + d * (sum_{u->v} rank_i(u) * w(u,v)
+                                     / W(u) + dangling_mass_i / N)
+    with W(u) the total out-weight of u and dangling nodes (no
+    out-edges) spreading uniformly, as in `pagerank`.
+
+    Scale shape is pagerank's exactly (per round: one src-keyed join,
+    one dst-keyed map-side-combined aggregation, one broadcast
+    dangling scalar, per-round round() determinism barrier,
+    localCheckpoint lineage truncation) plus ONE extra build-time
+    aggregation: parallel input edges are collapsed by summing their
+    weights (groupBy(src,dst)), which also makes the operator
+    idempotent under duplicated edge rows.  Weights are cast to
+    double once at staging so the share expression (rank * w / W) is
+    the same three-flop sequence the DuckDB oracle evaluates."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).alias("w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("w") > 0)
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outw = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("ow")
+    )
+    base = nodes.join(outw, "node", "left").localCheckpoint()
+    n_total = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
+    ranks = base.crossJoin(n_total).select(
+        "node",
+        "ow",
+        F.round(F.lit(1.0) / F.col("_n"), ITER_ROUND).alias("rank"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("src"), "rank", "ow"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("ow")
+                ).alias("contrib")
+            )
+        )
+        dangling = F.broadcast(
+            ranks.filter(F.col("ow").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .crossJoin(n_total)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                "ow",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    ),
+                    ITER_ROUND,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", out_round).alias("rank")
+    )
+
+
 def lpa_communities(
     edges: DataFrame,
     src_col: str = "src",

@@ -3785,3 +3785,70 @@ SELECT path, n, CAST(rank AS INT) AS rank FROM (
   FROM counts
 ) WHERE rank <= {top_k}
 """
+
+
+def host_pagerank_sql(
+    iterations: int = 5,
+    damping: float = 0.85,
+    n_pages: int = 2000,
+    n_hosts: int = 40,
+    fanout: int = 4,
+) -> str:
+    """Mirrors linkgraph.weighted_pagerank over the host-contracted
+    planted page graph: distinct page edges, page -> host = page %
+    n_hosts, parallel edges collapsed to a DOUBLE weight, rank flow
+    proportional to weight, dangling mass uniform — identical
+    arithmetic and per-round rounding to the Spark side."""
+    d = repr(float(damping))
+    omd = repr(1.0 - damping)
+    ctes = [
+        f"""pages AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % {n_pages} AS src,
+           ('0x' || substr(md5(doc_id || '@' || j), 1, 8))::BIGINT
+             % {n_pages} AS dst
+    FROM documents, (SELECT unnest(range({fanout})) AS j)
+  ) WHERE src <> dst
+), edges AS MATERIALIZED (
+  SELECT src % {n_hosts} AS src, dst % {n_hosts} AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM pages WHERE src % {n_hosts} <> dst % {n_hosts}
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), meta AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), outw AS (
+  SELECT src AS node, sum(w) AS ow FROM edges GROUP BY src
+), base AS (
+  SELECT n.node, o.ow FROM nodes n LEFT JOIN outw o ON n.node = o.node
+), r0 AS (
+  SELECT node, ow, round(1e0 / (SELECT n FROM meta), 10) AS rank
+  FROM base
+)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(rank), 0e0) AS dang FROM r{i} WHERE ow IS NULL
+), r{i + 1} AS (
+  SELECT b.node, b.ow,
+         round({omd} / (SELECT n FROM meta)
+               + {d} * (coalesce(c.contrib, 0e0)
+                        + (SELECT dang FROM dang{i})
+                          / (SELECT n FROM meta)),
+               10) AS rank
+  FROM base b
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / r.ow) AS contrib
+    FROM edges e JOIN r{i} r ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON b.node = c.node
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )

@@ -1484,6 +1484,47 @@ def test_pagerank_rejects_zero_iterations(spark):
         pagerank(df, iterations=0)
 
 
+def test_weighted_pagerank_equal_weights_match_pagerank(spark):
+    """With every weight equal, w/W = 1/outdeg and weighted PageRank
+    must reproduce the unweighted ranks exactly (same rounding
+    schedule); a dangling node (5) exercises the mass redistribution,
+    and ranks still sum to ~1."""
+    from mimeograph_spark.functions.linkgraph import (
+        pagerank,
+        weighted_pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    wdf = df.withColumn("weight", F.lit(2.0))
+    wr = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(wdf).collect()
+    }
+    assert wr == plain
+    assert abs(sum(wr.values()) - 1.0) < 1e-4
+
+
+def test_weighted_pagerank_weight_shifts_rank(spark):
+    """1->2 weighted 9 vs 1->3 weighted 1: node 2 must outrank node 3
+    (unweighted PageRank would tie them), and duplicated edge rows sum
+    their weights (idempotent contraction)."""
+    from mimeograph_spark.functions.linkgraph import weighted_pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 4.0), (1, 2, 5.0), (1, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r["node"]: r["rank"] for r in weighted_pagerank(df).collect()}
+    assert got[2] > got[3]
+    dup = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got2 = {r["node"]: r["rank"] for r in weighted_pagerank(dup).collect()}
+    assert got == got2
+
+
 def _py_hits(edges, iterations=5):
     """Straight-line mirror of linkgraph.hits (L1 norm, per-round
     rounding to 10, final rounding to 6)."""
