@@ -1286,6 +1286,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the NB language classifier
+    (nbclassifier.classifier_eval over nb_train_predict): the
+    measurement half of the quality-classifier loop — per-class drift
+    is the canary that a retrained filter started eating a language.
+    Three vocabulary-sized aggregates, no windows."""
+    from mimeograph_spark.functions.nbclassifier import (
+        classifier_eval,
+        nb_train_predict,
+    )
+
+    preds = nb_train_predict(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    return classifier_eval(preds)
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host-contracted page graph
     (functions/linkgraph.weighted_pagerank): planted md5 page edges
@@ -1993,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "top_event_paths": q_top_event_paths,
         "host_pagerank": q_host_pagerank,
+        "classifier_eval": q_classifier_eval,
         "chunk_documents": q_chunk_documents,
         "check_constraints": q_check_constraints,
         "heavy_hitters": q_heavy_hitters,
@@ -2239,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
             iterations=5, damping=0.85, n_pages=2000, n_hosts=40,
             fanout=4,
         ),
+        "classifier_eval": sql_oracles.classifier_eval_sql(),
         "inverted_postings": sql_oracles.INVERTED_POSTINGS_ORACLE,
         "sketch_estimates": sql_oracles.SKETCH_ESTIMATES_ORACLE,
         "bm25_topk": sql_oracles.bm25_topk_sql(BM25_TERMS, k=10),

@@ -187,7 +187,7 @@ HEADLINE_QUERIES = (
     "embedding_near_dups", "sketch_estimates", "hits_scores",
     "containment_pairs", "lpa_communities", "winnow_pairs",
     "zipf_fit", "event_transitions", "ann_pq_topk",
-    "top_event_paths", "host_pagerank",
+    "top_event_paths", "host_pagerank", "classifier_eval",
 )
 
 

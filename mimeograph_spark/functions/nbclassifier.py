@@ -151,3 +151,61 @@ def nb_train_predict(
         )
     )
     return register_persisted(out, terms)
+
+
+def classifier_eval(
+    preds: DataFrame,
+    label_col: str = "lang",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class evaluation of a (label, pred) frame: one row per
+    class appearing as truth or prediction — (label, n_true, n_pred,
+    tp, precision, recall, f1), floats rounded to 6.  The measurement
+    half of any quality-classifier deployment: per-class drift here
+    is the canary that a retrained filter started eating a language.
+
+    Scale shape: three map-side-combined aggregations over the
+    class vocabulary (truth counts, prediction counts, diagonal
+    counts) joined on the class key — every frame after the first
+    scan is vocabulary-sized, no windows, no collects.  0/0 guards:
+    precision is 0 when the class is never predicted, recall 0 when
+    it never occurs; f1 0 when both are 0."""
+    t = preds.select(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("p")
+    )
+    n_true = t.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = t.groupBy(F.col("p").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        t.filter(F.col("label") == F.col("p"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    base = (
+        n_true.join(n_pred, "label", "full")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "label", "n_true", "n_pred", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(
+                (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    )

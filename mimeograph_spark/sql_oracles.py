@@ -3852,3 +3852,55 @@ def host_pagerank_sql(
         f"WITH {body}\n"
         f"SELECT node, round(rank, 6) AS rank FROM r{iterations}"
     )
+
+
+def classifier_eval_sql() -> str:
+    """Mirrors nbclassifier.classifier_eval over the NB language
+    classifier's predictions: the full NB oracle nests as a subquery,
+    then three vocabulary-sized aggregates joined on the class key.
+    precision/recall/f1 computed from the UNROUNDED ratios exactly as
+    the Spark expressions do, rounded once at the end."""
+    return f"""
+WITH t AS (
+  SELECT lang AS label, pred AS p FROM ({NB_LANG_CLASSIFIER_ORACLE})
+), nt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_true FROM t GROUP BY 1
+), np AS (
+  SELECT p AS label, CAST(count(*) AS BIGINT) AS n_pred FROM t GROUP BY 1
+), tpc AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS tp FROM t
+  WHERE label = p GROUP BY 1
+), base AS (
+  SELECT coalesce(nt.label, np.label) AS label,
+         coalesce(nt.n_true, 0) AS n_true,
+         coalesce(np.n_pred, 0) AS n_pred,
+         coalesce(tpc.tp, 0) AS tp
+  FROM nt FULL JOIN np ON nt.label = np.label
+  LEFT JOIN tpc ON coalesce(nt.label, np.label) = tpc.label
+)
+SELECT label, n_true, n_pred, tp,
+       round(CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE)
+                  ELSE 0e0 END, 6) AS precision,
+       round(CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE)
+                  ELSE 0e0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN n_pred > 0
+                             THEN tp / CAST(n_pred AS DOUBLE)
+                             ELSE 0e0 END
+                        + CASE WHEN n_true > 0
+                               THEN tp / CAST(n_true AS DOUBLE)
+                               ELSE 0e0 END) > 0
+             THEN 2 * (CASE WHEN n_pred > 0
+                            THEN tp / CAST(n_pred AS DOUBLE)
+                            ELSE 0e0 END)
+                    * (CASE WHEN n_true > 0
+                            THEN tp / CAST(n_true AS DOUBLE)
+                            ELSE 0e0 END)
+                  / ((CASE WHEN n_pred > 0
+                           THEN tp / CAST(n_pred AS DOUBLE)
+                           ELSE 0e0 END)
+                     + (CASE WHEN n_true > 0
+                             THEN tp / CAST(n_true AS DOUBLE)
+                             ELSE 0e0 END))
+             ELSE 0e0 END, 6) AS f1
+FROM base
+"""

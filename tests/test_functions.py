@@ -1484,6 +1484,30 @@ def test_pagerank_rejects_zero_iterations(spark):
         pagerank(df, iterations=0)
 
 
+def test_classifier_eval_known_confusion(spark):
+    """Hand confusion: truth a,a,a,b,b,c preds a,a,b,b,b,a.
+    a: tp=2 n_true=3 n_pred=3 -> P=R=2/3; b: tp=2 n_true=2 n_pred=3;
+    c: never predicted -> P=0, R=0, F1=0 (0/0 guards)."""
+    from mimeograph_spark.functions.nbclassifier import classifier_eval
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"),
+         ("b", "b"), ("b", "b"), ("c", "a")],
+        "lang string, pred string",
+    )
+    got = {
+        r["label"]: (
+            r["n_true"], r["n_pred"], r["tp"],
+            r["precision"], r["recall"], r["f1"],
+        )
+        for r in classifier_eval(df).collect()
+    }
+    t = round(2 / 3, 6)
+    assert got["a"] == (3, 3, 2, t, t, t)
+    assert got["b"] == (2, 3, 2, t, 1.0, 0.8)
+    assert got["c"] == (1, 0, 0, 0.0, 0.0, 0.0)
+
+
 def test_weighted_pagerank_equal_weights_match_pagerank(spark):
     """With every weight equal, w/W = 1/outdeg and weighted PageRank
     must reproduce the unweighted ranks exactly (same rounding
