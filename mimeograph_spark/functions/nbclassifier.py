@@ -182,8 +182,18 @@ def classifier_eval(
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("tp"))
     )
+    # class list + three LEFT equi-joins rather than a FULL OUTER
+    # join: Spark plans a small-side full outer as a
+    # BroadcastNestedLoopJoin (flagged by the plan audit), while the
+    # left joins stay hash joins on the class key.
+    classes = (
+        t.select("label")
+        .unionByName(t.select(F.col("p").alias("label")))
+        .distinct()
+    )
     base = (
-        n_true.join(n_pred, "label", "full")
+        classes.join(n_true, "label", "left")
+        .join(n_pred, "label", "left")
         .join(tp, "label", "left")
         .select(
             "label",

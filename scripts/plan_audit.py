@@ -46,6 +46,7 @@ SCALAR_ATTACH_OK = {
     "mixture_sample",  # 1-row corpus count onto the per-group quotas
     "semantic_dedup",  # broadcast M-row centroid assignment crosses
     "nb_lang_classifier",  # 1-row totals + n_classes-row score spine
+    "classifier_eval",  # composes nb_train_predict (same scalars)
     "heavy_hitters",  # 1-row global summary onto the key counts
     "bigram_logprob",  # 1-row corpus token total onto the bigram table
     "incremental_dedup",  # 1-row id cutoff onto the old/new split
