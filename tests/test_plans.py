@@ -924,3 +924,37 @@ def test_lsh_increment_broadcast_direction_and_sigs_pruning(
     assert sigs_lines, plan
     for l in sigs_lines:
         assert "dynamicpruning" in l.lower() and "sbkt" in l, l
+
+
+def test_pq_probe_reads_only_persisted_index(spark, tmp_path):
+    """pq_probe must consume the PERSISTED codebook and codes tables —
+    no Lloyd retraining, no re-encoding: its plan scans the two index
+    parquet tables (plus the corpus scan for the shortlist rerank) and
+    contains none of the training plan's centroid-mean aggregates."""
+    from mimeograph_spark.functions.similarity import (
+        PqIndex,
+        build_pq_index,
+        pq_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "pq")
+    build_pq_index(
+        emb, path, dim=64, m=8, ksub=32, init_step=15, iters=1
+    )
+    idx = PqIndex.load(path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_probe(idx, queries, emb, shortlist=20, k=5)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both index tables are scanned from disk — matched by their
+    # column signatures (plan toString truncates long tmp paths):
+    # codebook = (s, cid, cent, cc), codes = (vec_id, s, code)
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any("cent#" in l and "cc#" in l for l in scans), plan
+    assert any("code#" in l for l in scans), plan
+    # ...and no training aggregate survives: the Lloyd rounds' mean
+    # expressions (avg(sv[..])) exist only in the build plan
+    assert "avg(sv" not in plan, plan
