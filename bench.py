@@ -489,6 +489,16 @@ def main() -> None:
             "sandbox; on a real cluster the N and 4N configurations would "
             "each have their own sockets/memory channels, so the measured "
             "efficiency here is a lower bound.\n"
+            "- **Round-6 double measurement (same session, "
+            "back-to-back clean runs)**: run 1 = 699,324 docs/s @32c "
+            "with an out-of-band slow 8-core level (170,531 docs/s; "
+            "efficiency 1.025), run 2 = 821,114 docs/s @32c with both "
+            "levels in their historical bands (8c 228,502; efficiency "
+            "0.898). Efficiency >1 is physically impossible for this "
+            "workload and marks the LOW level as the contaminated one "
+            "in run 1; both runs disclosed, the in-band run reported. "
+            "The >=0.8 target was met in every clean measurement in "
+            "every round.\n"
             "- Single-JVM stability required -Xms=-Xmx + AlwaysPreTouch "
             "(lazy heap-growth page faults caused multi-x run variance) "
             "and a large G1 heap.\n\n"
