@@ -38,14 +38,19 @@ def test_coverage_map_mentions_every_query():
 
 def test_rotation_window_holds_the_most_overdue_queries():
     """Rotation invariant, prefix form: rank every query by staleness
-    — never driver-checked first (they have ZERO hard validation; the
-    in-suite DuckDB mirror re-checks everything each pytest run, but
-    the driver is authoritative), then ascending by the round of the
-    last hard check.  The driver's front-50 window must be a PREFIX
-    of that ranking: no query outside the window may be strictly more
-    overdue than any query inside it.  When more than 50 queries tie
-    at the boundary the choice among equals is free, and the overflow
-    naturally leads the next round's window."""
+    — queries with no hard-GREEN driver check first (a FAILED or
+    ERRed CORRECTNESS row is zero validation, so the key is the last
+    GREEN round, not the last attempted one; the in-suite DuckDB
+    mirror re-checks everything each pytest run, but the driver is
+    authoritative), then ascending by the round of the last green
+    check.  Rows-only queries (sketch_rollup) are excluded from the
+    ranking: the driver errs `no_oracle` on them every time, so a
+    window slot spent on one is a known-err row, never a validation.
+    The driver's front-50 window must be a PREFIX of that ranking:
+    no ranked query outside the window may be strictly more overdue
+    than any ranked query inside it.  When more than 50 queries tie
+    at the boundary the choice among equals is free, and the
+    overflow naturally leads the next round's window."""
     import json
     import re
 
@@ -55,20 +60,28 @@ def test_rotation_window_holds_the_most_overdue_queries():
         if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
     )
     assert files, "no CORRECTNESS files found"
-    last_checked: dict[str, int] = {}
+    rows_only = {"sketch_rollup"}
+    last_green: dict[str, int] = {}
     for f in files:
         rnd = int(re.search(r"r(\d+)", f).group(1))
-        for name in json.load(open(os.path.join(REPO, f))):
-            last_checked[name] = max(last_checked.get(name, 0), rnd)
+        for name, row in json.load(open(os.path.join(REPO, f))).items():
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+                and row.get("err") is None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
 
-    order = list(entry_mod.queries())
+    order = [n for n in entry_mod.queries() if n not in rows_only]
     if len(order) <= 50:
         return
-    key = lambda n: last_checked.get(n, -1)  # noqa: E731
+    key = lambda n: last_green.get(n, -1)  # noqa: E731
     worst_in = max(order[:50], key=key)
     best_out = min(order[50:], key=key)
     assert key(worst_in) <= key(best_out), (
-        f"rotation violated: {best_out!r} (last checked "
+        f"rotation violated: {best_out!r} (last green "
         f"r{key(best_out)}) sits outside the driver window while "
-        f"{worst_in!r} (last checked r{key(worst_in)}) holds a slot"
+        f"{worst_in!r} (last green r{key(worst_in)}) holds a slot"
     )
