@@ -337,13 +337,13 @@ def resolve_clusters(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if max_iters < 1:
         raise ValueError("max_iters must be >= 1")
@@ -382,7 +382,7 @@ def resolve_clusters(
                 F.col("x.id").alias("id"),
                 F.coalesce("_llabel", F.col("x.label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.alias("n")

@@ -83,16 +83,28 @@ def build_lsh_index(
     - ``{path}/sigs``:  (id, sh, sig) for canonical reps only
     - ``{path}/bands``: (id, band_hash) partitioned by band
     """
-    fp = df.select(
-        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
+    from pyspark.storagelevel import StorageLevel
+
+    # ONE corpus scan: fingerprint + hashed shingles + signature are
+    # projected together and persisted — the three table writes below
+    # would otherwise each re-read the corpus and re-run the md5
+    # shingling (the build's dominant per-row cost) from scratch.
+    staged_all = with_shingle_hashes(df, text_col, n).select(
+        F.col(id_col).alias("id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.array_sort(F.array_distinct(F.col("_hs"))).alias("sh"),
+        minhash_from_hashes(F.col("_hs"), k).alias("sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    groups = (
+        staged_all.groupBy("fp")
+        .agg(F.min("id").alias("canon"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    groups = fp.groupBy("fp").agg(F.min("id").alias("canon"))
     groups.write.mode("overwrite").parquet(f"{path}/fps")
 
-    staged = _staged(df, id_col, text_col, k, n)
-    reps = staged.join(
+    reps = staged_all.join(
         groups.select(F.col("canon").alias("id")), "id", "left_semi"
-    )
+    ).select("id", "sh", "sig").persist(StorageLevel.MEMORY_AND_DISK)
     reps.withColumn("sbkt", _sig_bucket(F.col("id"))).write.mode(
         "overwrite"
     ).partitionBy("sbkt").parquet(f"{path}/sigs")
@@ -106,6 +118,9 @@ def build_lsh_index(
     banded.write.mode("overwrite").partitionBy("band").parquet(
         f"{path}/bands"
     )
+    staged_all.unpersist()
+    groups.unpersist()
+    reps.unpersist()
 
 
 def lsh_increment(
@@ -136,9 +151,15 @@ def lsh_increment(
     hash join, never shuffled; the only shuffles are the delta's own
     aggregations.  The bucket cap sums stored bucket membership with
     the delta's, restricted to buckets the delta touches."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the delta's (id, fp) projection rides FIVE+ consumers (both
+    # exact stages, the hit-set broadcast, the miss anti-join, the
+    # group aggregation) — without a persist every broadcast branch
+    # re-scans and re-fingerprints the delta source from scratch
     new_fp = new_df.select(
         F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     idx_fps = spark.read.parquet(f"{path}/fps")
 
     # exact stage 1: new doc identical to an indexed fingerprint
@@ -181,8 +202,6 @@ def lsh_increment(
         "id",
         "left_semi",
     )
-    from pyspark.storagelevel import StorageLevel
-
     staged_new = staged_new.persist(StorageLevel.MEMORY_AND_DISK)
     banded_new = staged_new.select(
         "id",
@@ -279,6 +298,7 @@ def lsh_increment(
             .localCheckpoint(eager=True)
         )
         bands_delta = banded_new.localCheckpoint(eager=True)
+        new_fp.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
         cand.unpersist()
@@ -296,10 +316,11 @@ def lsh_increment(
         banded_new.write.mode("append").partitionBy("band").parquet(
             f"{path}/bands"
         )
+        new_fp.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
         cand.unpersist()
         return out
     from ..cacheutil import register_persisted
 
-    return register_persisted(out, staged_new, banded_new, cand)
+    return register_persisted(out, new_fp, staged_new, banded_new, cand)

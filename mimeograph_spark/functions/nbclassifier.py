@@ -170,9 +170,17 @@ def classifier_eval(
     scan is vocabulary-sized, no windows, no collects.  0/0 guards:
     precision is 0 when the class is never predicted, recall 0 when
     it never occurs; f1 0 when both are 0."""
+    from pyspark import StorageLevel
+
+    from ..cacheutil import register_persisted
+
+    # four consumers (truth counts, prediction counts, diagonal,
+    # class list) — without the persist each one re-executes the
+    # entire upstream prediction pipeline (for nb_train_predict
+    # input that is the full score-join, four times over)
     t = preds.select(
         F.col(label_col).alias("label"), F.col(pred_col).alias("p")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_true = t.groupBy("label").agg(F.count(F.lit(1)).alias("n_true"))
     n_pred = t.groupBy(F.col("p").alias("label")).agg(
         F.count(F.lit(1)).alias("n_pred")
@@ -208,7 +216,7 @@ def classifier_eval(
     rec = F.when(
         F.col("n_true") > 0, F.col("tp") / F.col("n_true")
     ).otherwise(F.lit(0.0))
-    return base.select(
+    out = base.select(
         "label", "n_true", "n_pred", "tp",
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
@@ -219,3 +227,4 @@ def classifier_eval(
             6,
         ).alias("f1"),
     )
+    return register_persisted(out, t)

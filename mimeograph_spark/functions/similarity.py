@@ -444,7 +444,7 @@ def _kmeans_refine(
                 "cid", F.coalesce("_mvec", "_cent").alias("_cent")
             )
             .withColumn("_centn", l2_norm(F.col("_cent")))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cent = F.broadcast(cent)
     return cent
@@ -960,7 +960,7 @@ def _pq_train(
             F.col("sv").alias("cent"),
             F.col("svv").alias("cc"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         means = (
@@ -986,7 +986,7 @@ def _pq_train(
                 F.coalesce("_mvec", "cent").alias("cent"),
             )
             .withColumn("cc", dot(F.col("cent"), F.col("cent")))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cb
 
@@ -1137,7 +1137,7 @@ def pq_topk(
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = _pq_adc_topk(codes, cb, qbase, base, m, dsub, shortlist, k)
     return register_persisted(out, base, sub)
 
@@ -1240,7 +1240,7 @@ def pq_probe(
     qbase = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     rerank_base = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
