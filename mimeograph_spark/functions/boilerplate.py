@@ -37,12 +37,17 @@ def boilerplate_ngrams(
     frequency among those present in at least `min_ratio` of the
     group's documents.  Output: (group, gram, n_docs, doc_ratio,
     rank) — rank by (n_docs desc, gram asc), deterministic."""
+    # tokens staged as a real column: the gram lambda slices the
+    # token array per gram, and HOFs are interpreted (no codegen
+    # subexpression elimination) — an inline tokenization here
+    # re-runs split/regexp once per gram (measured 7x slower)
     grams = df.select(
         F.col(group_col).alias("grp"),
+        norm_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "grp",
         F.explode(
-            shingles_from_tokens(
-                norm_tokens(F.col(text_col)), n, pad_short=False
-            )
+            shingles_from_tokens(F.col("_toks"), n, pad_short=False)
         ).alias("gram"),
     )
     dfreq = grams.groupBy("grp", "gram").agg(

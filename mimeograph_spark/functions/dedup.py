@@ -145,10 +145,21 @@ def with_shingle_hashes(
     downstream MinHash permutations reuse it instead of recomputing
     shingling+md5 per permutation (Catalyst's CollapseProject keeps the
     materialization because duplicating a non-cheap expression 16x is
-    against its own cost rule)."""
-    return df.withColumn(
-        out, F.transform(shingles(F.col(text_col), n), shingle_hash)
-    )
+    against its own cost rule).
+
+    The token array is ALSO staged as its own projection first:
+    higher-order functions are interpreted, not codegen'd, so a free
+    sub-expression inside the per-gram lambda (`slice(toks, ...)`
+    where toks is the inline split/normalize chain) re-evaluates the
+    whole tokenization once per gram — measured 7x slower on the
+    gram explode than referencing a staged attribute."""
+    staged = df.withColumn("_mimeo_toks", norm_tokens(F.col(text_col)))
+    return staged.withColumn(
+        out,
+        F.transform(
+            shingles_from_tokens(F.col("_mimeo_toks"), n), shingle_hash
+        ),
+    ).drop("_mimeo_toks")
 
 
 def band_hash_array(sig: Column, k: int = 16, bands: int = 4) -> Column:
@@ -429,18 +440,29 @@ def decontaminate(
     per-doc count aggregation.  Returns (doc_id, n_matched_ngrams) for
     contaminated docs only; anti-join the result against the corpus to
     drop them."""
+    # tokens staged as a real column on both sides: the gram lambda
+    # re-evaluates a free inline tokenization once per gram (HOFs are
+    # interpreted, no codegen subexpression elimination)
     eval_grams = F.broadcast(
-        eval_set.select(
+        eval_set.select(norm_tokens(F.col(text_col)).alias("_toks"))
+        .select(
             F.explode(
-                F.transform(shingles(F.col(text_col), n), shingle_hash)
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), n), shingle_hash
+                )
             ).alias("_g")
         ).distinct()
     )
     train_grams = train.select(
         F.col(id_col).alias("doc_id"),
+        norm_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(
             F.array_distinct(
-                F.transform(shingles(F.col(text_col), n), shingle_hash)
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), n), shingle_hash
+                )
             )
         ).alias("_g"),
     )
@@ -888,14 +910,21 @@ def bloom_decontaminate(
     map-side-combined aggregations (per (doc, gram), then per doc)."""
     from .sketches import bloom_build, bloom_contains
 
+    # tokens staged (see decontaminate): HOF lambdas re-evaluate an
+    # inline tokenization per gram
     eval_grams = eval_set.select(
-        F.explode(shingles(F.col(text_col), n)).alias("gram")
+        norm_tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram")
     ).distinct()
     bloom = bloom_build(eval_grams, "gram", k=k, m_bits=m_bits)
     train_grams = train.select(
         F.col(id_col).alias("doc_id"),
+        norm_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(
-            F.array_distinct(shingles(F.col(text_col), n))
+            F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
         ).alias("gram"),
     )
     hits = bloom_contains(
@@ -946,9 +975,14 @@ def corpus_overlap(
     params = minhash_params(k)
 
     def gram_hashes(df: DataFrame) -> DataFrame:
+        # tokens staged (see decontaminate): HOF lambdas re-evaluate
+        # an inline tokenization per gram
         return (
-            df.select(
-                F.explode(shingles(F.col(text_col), n)).alias("s")
+            df.select(norm_tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                F.explode(
+                    shingles_from_tokens(F.col("_toks"), n)
+                ).alias("s")
             )
             .select(shingle_hash(F.col("s")).alias("h"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1056,11 +1090,18 @@ def containment_pairs(
     from ..cacheutil import ensure_compute_parallelism, register_persisted
 
     df = ensure_compute_parallelism(df)
+    # tokens staged (see decontaminate): HOF lambdas re-evaluate an
+    # inline tokenization per gram
     sh = df.select(
         F.col(id_col).alias("id"),
+        norm_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
         F.array_sort(
             F.array_distinct(
-                F.transform(shingles(F.col(text_col), n), shingle_hash)
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), n), shingle_hash
+                )
             )
         ).alias("_sh"),
     ).select(

@@ -86,10 +86,13 @@ def winnow_fingerprints(
     fps a sorted distinct array<long>.  One zero-shuffle projection."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("_t"),
+        # tokens staged as a real column: kgram_hashes slices the
+        # token array inside its per-gram lambda, and HOFs are
+        # interpreted — an inline tokenization re-runs per gram
+        norm_tokens(F.col(text_col)).alias("_toks"),
     ).select(
         "id",
-        kgram_hashes(norm_tokens(F.col("_t")), k).alias("_h"),
+        kgram_hashes(F.col("_toks"), k).alias("_h"),
     ).select(
         "id",
         F.size("_h").cast("long").alias("n_kgrams"),
