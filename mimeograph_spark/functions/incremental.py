@@ -226,9 +226,13 @@ def lsh_increment(
         )
         .select("band", "band_hash")
     )
+    # capped_new feeds three consumers (the cand_old broadcast build
+    # and both sides of the new-new self-join); without a persist each
+    # one re-derives the cap, re-scanning the index bands table for
+    # the combined bucket counts.  Delta-bounded, so safe to cache.
     capped_new = banded_new.join(
         F.broadcast(keep), ["band", "band_hash"], "left_semi"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # candidates: index-vs-new (index streamed, delta broadcast) and
     # new-vs-new; precondition makes indexed id < new id
@@ -301,6 +305,7 @@ def lsh_increment(
         new_fp.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
+        capped_new.unpersist()
         cand.unpersist()
         return out, fps_delta, sigs_delta, bands_delta
 
@@ -319,8 +324,11 @@ def lsh_increment(
         new_fp.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
+        capped_new.unpersist()
         cand.unpersist()
         return out
     from ..cacheutil import register_persisted
 
-    return register_persisted(out, new_fp, staged_new, banded_new, cand)
+    return register_persisted(
+        out, new_fp, staged_new, banded_new, capped_new, cand
+    )

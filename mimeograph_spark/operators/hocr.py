@@ -58,6 +58,25 @@ class HocrError(ValueError):
     missing/odd bbox) — maps to a page error, not a job failure."""
 
 
+# The per-word x origins are invariants of the geometry: x0 =
+# (k * 113) % max(width, 1) with k <= 3 and width >= 500, so the
+# modulo never wraps and x0 is the constant k * 113.  Hoisting the
+# whole page skeleton into one module-level template turns synthesis
+# into a single %-format — byte-identical markup, ~2.5x less Python
+# per page in the extract hot loop.
+_PAGE_TEMPLATE = (
+    "<div class='ocr_page' id='page_1' "
+    "title='image \"%s\"; bbox 0 0 %d %d'>"
+    "<span class='ocr_line' title='bbox 0 40 %d 70'>"
+    + " ".join(
+        f"<span class='ocrx_word' title='bbox {k * 113} 40 "
+        f"{k * 113 + 90} 70'>%s</span>"
+        for k in range(len(_WORD_STARTS))
+    )
+    + "</span></div>"
+)
+
+
 def synth_hocr(media_ref: str) -> str:
     """Synthesize tesseract-style hOCR for a raster page reference.
 
@@ -71,25 +90,16 @@ def synth_hocr(media_ref: str) -> str:
         return f"<div class='ocr_noise' title='bbox 0 0 0 0'>{h}</div>"
     width = 500 + int(h[0:4], 16) % 2000
     height = 500 + int(h[4:8], 16) % 2000
-    words = []
-    for k, start in enumerate(_WORD_STARTS):
-        w = h[start : start + 4]
-        if w[0] in _EMPTY_MARKERS:
-            w = ""  # zero-length ocrx_word, dropped at parse time
-        x0 = (k * 113) % max(width, 1)
-        words.append(
-            f"<span class='ocrx_word' title='bbox {x0} 40 {x0 + 90} 70'>{w}</span>"
-        )
-    line = (
-        f"<span class='ocr_line' title='bbox 0 40 {width} 70'>"
-        + " ".join(words)
-        + "</span>"
-    )
-    return (
-        f"<div class='ocr_page' id='page_1' "
-        f"title='image \"{media_ref}\"; bbox 0 0 {width} {height}'>"
-        + line
-        + "</div>"
+    empty = _EMPTY_MARKERS
+    return _PAGE_TEMPLATE % (
+        media_ref,
+        width,
+        height,
+        width,
+        "" if h[0] in empty else h[0:4],
+        "" if h[8] in empty else h[8:12],
+        "" if h[16] in empty else h[16:20],
+        "" if h[24] in empty else h[24:28],
     )
 
 
