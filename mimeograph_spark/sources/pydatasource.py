@@ -163,18 +163,16 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         os.makedirs(self.path, exist_ok=True)
-        if self.overwrite:
-            # clear prior committed output INSIDE the commit (not in
-            # write(): tasks run before the job is known to succeed,
-            # and a failed overwrite job must leave the old data
-            # readable).  New parts are still .tmp at this point, so
-            # only previously committed files match the glob.
-            for name in os.listdir(self.path):
-                if (
-                    name.endswith(".jsonl") and name.startswith("part-")
-                ) or name == "_SUCCESS":
-                    os.unlink(os.path.join(self.path, name))
+        # rename the NEW parts into place FIRST (uuid names, so they
+        # can never collide with the old set), and only then delete
+        # old committed files not in the new set: a crash anywhere in
+        # commit() leaves at least one full generation readable —
+        # delete-first had a window with zero readable data.  Old-data
+        # purity (a failed job leaves the previous output untouched)
+        # still holds: tasks only ever write .tmp names, and nothing
+        # is renamed before the job-level commit is entered.
         total = 0
+        new_names = set()
         for m in messages:
             if m is None:
                 continue
@@ -183,7 +181,16 @@ class JsonlSinkWriter(DataSourceWriter):
                 os.path.join(self.path, m.tmp_name),
                 os.path.join(self.path, final),
             )
+            new_names.add(final)
             total += m.rows
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if (
+                    name.endswith(".jsonl")
+                    and name.startswith("part-")
+                    and name not in new_names
+                ):
+                    os.unlink(os.path.join(self.path, name))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(json.dumps({"rows": total}))
 

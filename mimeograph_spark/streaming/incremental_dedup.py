@@ -26,8 +26,11 @@ is a per-batch staged redo log:
 3. a ``_STAGED`` flag commits the staging atomically (single file
    create);
 4. the staged files are MOVED into the live tables under
-   deterministic per-batch names (``batch-{id}-{seq}.parquet``), each
-   move skipped if its destination already exists;
+   deterministic per-batch names keyed on each file's staging-relative
+   path (``batch-{id}-{md5(rel/name)}.parquet`` — identity-based, so a
+   replay that re-lists a PARTIALLY moved staging dir regenerates the
+   same name per file), each move skipped if its destination already
+   exists;
 5. the batch marker is written, then staging is cleaned up.
 
 Replay analysis: crash before (3) → no flag, recompute from scratch
@@ -59,7 +62,19 @@ def _touch(path: str) -> None:
 def _redo_moves(staging: str, dests: dict[str, str], batch_id: int) -> None:
     """Move every staged parquet file into its live table under a
     deterministic name; partition subdirectories (band=…, sbkt=…) are
-    preserved.  Idempotent: re-running skips files already moved."""
+    preserved.  Idempotent: re-running skips files already moved.
+
+    Destination names derive from each staged file's STABLE identity
+    (md5 of its staging-relative path), never from its position in the
+    directory listing: after a crash with k of n files already moved,
+    a replay re-lists only the n-k survivors, and position-based names
+    (enumerate over the remaining files) would collide with the moved
+    files' names, hit the exists-skip branch, and silently strand the
+    survivors in staging for the post-commit cleanup to delete.
+    Staging is immutable once ``_STAGED`` exists, so identity names
+    are deterministic across any number of replays."""
+    import hashlib
+
     for sub, dest_root in sorted(dests.items()):
         src_root = os.path.join(staging, sub)
         if not os.path.isdir(src_root):
@@ -70,19 +85,34 @@ def _redo_moves(staging: str, dests: dict[str, str], batch_id: int) -> None:
             for name in names:
                 if name.endswith(".parquet"):
                     files.append((rel, name))
-        for seq, (rel, name) in enumerate(sorted(files)):
+        for rel, name in sorted(files):
             dest_dir = (
                 dest_root if rel == "." else os.path.join(dest_root, rel)
             )
             os.makedirs(dest_dir, exist_ok=True)
+            ident = hashlib.md5(f"{rel}/{name}".encode()).hexdigest()[:16]
             dest = os.path.join(
-                dest_dir, f"batch-{batch_id}-{seq:05d}.parquet"
+                dest_dir, f"batch-{batch_id}-{ident}.parquet"
             )
             src = os.path.join(src_root, rel, name)
             if os.path.exists(dest):
                 continue  # replayed move — already landed
             if os.path.exists(src):
-                os.replace(src, dest)
+                try:
+                    os.replace(src, dest)
+                except OSError as exc:
+                    import errno
+
+                    if exc.errno != errno.EXDEV:
+                        raise
+                    # staging on a different filesystem than the live
+                    # table: fall back to copy + rename + unlink (the
+                    # tmp name keeps a half-copied file from ever
+                    # matching the exists-skip check on replay)
+                    tmp = dest + ".tmp"
+                    shutil.copyfile(src, tmp)
+                    os.replace(tmp, dest)
+                    os.unlink(src)
 
 
 def dedup_batch(

@@ -802,7 +802,32 @@ def test_incremental_dedup_batch_survives_crashes_exactly_once(
     assert calls["n"] == 1
     assert run(20, 25, 0) is True  # replay completes from staging
 
-    # crash (b): moves executed, marker missing
+    # crash (c): MID-move — the first staged file lands in its live
+    # table, then the process dies.  The replay re-lists a staging
+    # dir that is missing the moved file; destination names must
+    # derive from each file's stable identity, not its position in
+    # the remaining listing (position-based names collide with the
+    # already-moved file, skip the survivors, and the post-commit
+    # cleanup then deletes them — silent row loss).
+    real_replace = os.replace
+    mv = {"n": 0}
+
+    def exploding_replace(src, dst, *a, **kw):
+        mv["n"] += 1
+        if mv["n"] > 1:
+            raise RuntimeError("crash after first move")
+        return real_replace(src, dst, *a, **kw)
+
+    os.replace = exploding_replace
+    try:
+        with pytest.raises(RuntimeError):
+            run(25, 30, 1)
+    finally:
+        os.replace = real_replace
+    assert mv["n"] > 1  # the crash really hit mid-move
+
+    # crash (b): on the replay, moves execute but the marker write
+    # dies — the next replay must redo (skip) the moves and commit
     real_touch = mod._touch
 
     def exploding_touch(path):
