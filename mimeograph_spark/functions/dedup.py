@@ -371,10 +371,14 @@ def resolve_clusters(
             .groupBy("dst")
             .agg(F.min("src_label").alias("nbr_label"))
         )
+        # the round's input label rides along as _old so the
+        # convergence count below is a plain filter on the jumped
+        # frame — not an extra join back against the previous labels
         stepped = labels.join(
             nbr, labels["id"] == nbr["dst"], "left"
         ).select(
             "id",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
@@ -391,17 +395,15 @@ def resolve_clusters(
             )
             .select(
                 F.col("x.id").alias("id"),
+                F.col("x._old").alias("_old"),
                 F.coalesce("_llabel", F.col("x.label")).alias("label"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     else:

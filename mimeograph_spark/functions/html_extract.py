@@ -123,12 +123,15 @@ def extract_main_content_scored(
         no_script, r"(?s)<style[^>]*>.*?</style>", " "
     )
     blocks = F.split(clean, BLOCK_SPLIT_RE)
+    # two-stage transform so the per-block regex chains (_visible,
+    # _link_text) run ONCE each; referencing them twice inside one
+    # lambda (t + length(t)) would re-evaluate the regex per use —
+    # HOF lambdas are interpreted with no subexpression elimination
     staged = F.transform(
         blocks,
         lambda b: F.struct(
             _visible(b).alias("t"),
-            F.length(_visible(b)).alias("n"),
-            F.length(_link_text(b)).alias("ln"),
+            _link_text(b).alias("lt"),
             b.rlike(POS_HINT_RE).cast("int").alias("pos"),
             b.rlike(NEG_HINT_RE).cast("int").alias("neg"),
         ),
@@ -137,40 +140,70 @@ def extract_main_content_scored(
         staged,
         lambda s: F.struct(
             s["t"].alias("t"),
-            s["n"].alias("n"),
+            F.length(s["t"]).alias("n"),
             (
-                s["n"]
-                - 3 * s["ln"]
+                F.length(s["t"])
+                - 3 * F.length(s["lt"])
                 + 30 * s["pos"]
                 - 30 * s["neg"]
             ).alias("sc"),
         ),
     )
-    keep = F.filter(
-        scored, lambda s: (s["n"] > 0) & (s["sc"] >= min_score)
+    # ONE fold over the scored blocks computes every output field —
+    # the keep/drop/total arrays each referenced the scored chain
+    # separately (6 full evaluations of the regex pipeline per row);
+    # the finish lambda renames fields off the accumulator, which is
+    # evaluated once.  String order and types are the array_join
+    # semantics exactly (kept blocks joined with one space, in
+    # document order; top_score 0 when nothing kept).
+    kept_f = lambda s: (s["n"] > 0) & (s["sc"] >= min_score)  # noqa: E731
+    init = F.struct(
+        F.lit("").alias("mt"),
+        F.lit(0).cast("long").alias("nk"),
+        F.lit(0).cast("long").alias("nt"),
+        F.lit(0).cast("long").alias("bp"),
+        F.lit(None).cast("long").alias("top"),
     )
-    drop = F.filter(
-        scored, lambda s: (s["n"] > 0) & (s["sc"] < min_score)
-    )
-    return F.struct(
-        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(
-            "main_text"
-        ),
-        F.size(keep).cast("long").alias("n_blocks_kept"),
-        F.size(F.filter(scored, lambda s: s["n"] > 0))
-        .cast("long")
-        .alias("n_blocks_total"),
-        F.aggregate(
-            drop, F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
-        ).alias("boilerplate_chars"),
-        F.when(
-            F.size(keep) > 0,
-            F.array_max(F.transform(keep, lambda s: s["sc"])).cast(
-                "long"
-            ),
+
+    def step(acc, s):
+        kept = kept_f(s)
+        dropped = (s["n"] > 0) & (s["sc"] < min_score)
+        return F.struct(
+            F.when(
+                kept & (acc["nk"] > 0),
+                F.concat(acc["mt"], F.lit(" "), s["t"]),
+            )
+            .when(kept, s["t"])
+            .otherwise(acc["mt"])
+            .alias("mt"),
+            (acc["nk"] + kept.cast("long")).alias("nk"),
+            (acc["nt"] + (s["n"] > 0).cast("long")).alias("nt"),
+            (
+                acc["bp"]
+                + F.when(dropped, s["n"].cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("bp"),
+            F.when(
+                kept, F.greatest(acc["top"], s["sc"].cast("long"))
+            )
+            .otherwise(acc["top"])
+            .alias("top"),
         )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("top_score"),
+
+    return F.aggregate(
+        scored,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["mt"].alias("main_text"),
+            acc["nk"].alias("n_blocks_kept"),
+            acc["nt"].alias("n_blocks_total"),
+            acc["bp"].alias("boilerplate_chars"),
+            F.coalesce(acc["top"], F.lit(0).cast("long")).alias(
+                "top_score"
+            ),
+        ),
     )
 
 
@@ -192,36 +225,62 @@ def extract_main_content(
         no_script, r"(?s)<style[^>]*>.*?</style>", " "
     )
     blocks = F.split(clean, BLOCK_SPLIT_RE)
-    scored = F.transform(
+    # staged t/lt once per block, then lengths off the struct fields —
+    # and ONE fold for every output field (see the scored variant for
+    # the rationale: HOF lambdas re-evaluate repeated sub-expressions,
+    # and the keep/drop/total arrays each re-ran the whole chain)
+    staged = F.transform(
         blocks,
         lambda b: F.struct(
-            _visible(b).alias("t"),
-            F.length(_visible(b)).alias("n"),
-            F.length(_link_text(b)).alias("ln"),
+            _visible(b).alias("t"), _link_text(b).alias("lt")
         ),
     )
-    keep = F.filter(
+    scored = F.transform(
+        staged,
+        lambda s: F.struct(
+            s["t"].alias("t"),
+            F.length(s["t"]).alias("n"),
+            F.length(s["lt"]).alias("ln"),
+        ),
+    )
+    init = F.struct(
+        F.lit("").alias("mt"),
+        F.lit(0).cast("long").alias("nk"),
+        F.lit(0).cast("long").alias("nt"),
+        F.lit(0).cast("long").alias("bp"),
+    )
+
+    def step(acc, s):
+        kept = (s["n"] >= min_text_len) & (
+            (s["ln"] / s["n"]) <= max_link_density
+        )
+        dropped = (s["n"] > 0) & ~kept
+        return F.struct(
+            F.when(
+                kept & (acc["nk"] > 0),
+                F.concat(acc["mt"], F.lit(" "), s["t"]),
+            )
+            .when(kept, s["t"])
+            .otherwise(acc["mt"])
+            .alias("mt"),
+            (acc["nk"] + kept.cast("long")).alias("nk"),
+            (acc["nt"] + (s["n"] > 0).cast("long")).alias("nt"),
+            (
+                acc["bp"]
+                + F.when(dropped, s["n"].cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("bp"),
+        )
+
+    return F.aggregate(
         scored,
-        lambda s: (s["n"] >= min_text_len)
-        & ((s["ln"] / s["n"]) <= max_link_density),
-    )
-    drop = F.filter(
-        scored,
-        lambda s: (s["n"] > 0)
-        & ~(
-            (s["n"] >= min_text_len)
-            & ((s["ln"] / s["n"]) <= max_link_density)
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["mt"].alias("main_text"),
+            acc["nk"].alias("n_blocks_kept"),
+            acc["nt"].alias("n_blocks_total"),
+            acc["bp"].alias("boilerplate_chars"),
         ),
-    )
-    return F.struct(
-        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(
-            "main_text"
-        ),
-        F.size(keep).cast("long").alias("n_blocks_kept"),
-        F.size(F.filter(scored, lambda s: s["n"] > 0))
-        .cast("long")
-        .alias("n_blocks_total"),
-        F.aggregate(
-            drop, F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
-        ).alias("boilerplate_chars"),
     )

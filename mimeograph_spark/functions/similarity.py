@@ -506,15 +506,25 @@ def build_ivf_index(
     import json
     import os
 
+    from pyspark.storagelevel import StorageLevel
+
     cvec = F.col(vec_col).cast("array<double>")
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) % centroid_step == 1)
-        .select(F.col(id_col).alias("cid"), cvec.alias("_cent"))
-        .withColumn("_centn", l2_norm(F.col("_cent")))
-    )
+    # base feeds every Lloyd round plus the final assignment — the
+    # norms are an interpreted HOF fold per row, so re-deriving the
+    # frame from the source per round pays the scan AND the fold
+    # refine_iters + 1 times; one narrow cache pays them once
     base = corpus.select(
         F.col(id_col).alias("vec_id"), cvec.alias("_cvec")
-    ).withColumn("_cn", l2_norm(F.col("_cvec")))
+    ).withColumn("_cn", l2_norm(F.col("_cvec"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cent = F.broadcast(
+        base.filter(F.col("vec_id") % centroid_step == 1).select(
+            F.col("vec_id").alias("cid"),
+            F.col("_cvec").alias("_cent"),
+            F.col("_cn").alias("_centn"),
+        )
+    )
     if refine_iters > 0:
         cent = _kmeans_refine(base, cent, dim, refine_iters)
     cent_out = cent.select(
@@ -537,6 +547,7 @@ def build_ivf_index(
         .parquet(f"{path}/cells")
     )
     n_centroids = cent_out.count()
+    base.unpersist()
     meta = {
         "dim": dim,
         "n_centroids": n_centroids,

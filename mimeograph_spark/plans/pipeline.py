@@ -129,16 +129,26 @@ def extract(
             m["offset"].alias("offset"),
         ),
     )
+    # zipped is consumed by BOTH output branches (kept spans and
+    # error offsets); staged as a real column it is built once per
+    # row — inline, the zip_with struct rebuild runs twice
     main_out = staged.select(
         "doc_id",
         F.col(HAS_NATIVE).alias(HAS_NATIVE),
+        F.col("_native"),
+        zipped.alias("_zip"),
+    ).select(
+        "doc_id",
+        F.col(HAS_NATIVE).alias(HAS_NATIVE),
         F.when(F.col(HAS_NATIVE), F.col("_native"))
-        .otherwise(F.filter(zipped, lambda z: z["text"].isNotNull()))
+        .otherwise(
+            F.filter(F.col("_zip"), lambda z: z["text"].isNotNull())
+        )
         .alias("spans_out"),
         F.when(F.col(HAS_NATIVE), F.lit([]).cast("array<int>"))
         .otherwise(
             F.transform(
-                F.filter(zipped, lambda z: z["text"].isNull()),
+                F.filter(F.col("_zip"), lambda z: z["text"].isNull()),
                 lambda z: z["offset"],
             )
         )
