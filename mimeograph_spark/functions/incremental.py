@@ -162,23 +162,26 @@ def lsh_increment(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     idx_fps = spark.read.parquet(f"{path}/fps")
 
-    # exact stage 1: new doc identical to an indexed fingerprint
-    exact_old = idx_fps.join(F.broadcast(new_fp), "fp").select(
+    # exact stage 1: new doc identical to an indexed fingerprint.
+    # ONE streamed pass over the corpus-sized fps table feeds both the
+    # exact pairs AND the delta-bounded hit set (its distinct fps) —
+    # deriving the hit set from a second fps scan would double the
+    # index read per increment.  The join output is bounded by the
+    # delta, so caching it is scale-safe.
+    hit_join = idx_fps.join(F.broadcast(new_fp), "fp").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exact_old = hit_join.select(
         F.col("canon").alias("id_a"),
         F.col("id").alias("id_b"),
         F.lit(1.0).alias("jaccard"),
     )
     # exact stage 2: unseen fingerprints group within the batch.
     # The anti-join must NOT broadcast the corpus-sized fps table —
-    # derive the delta-bounded hit set first (index streamed through
-    # a hash join against the broadcast delta, same direction as
-    # exact stage 1), then anti-join the delta against the tiny hit
-    # set.  One extra stage, but the index is never broadcast.
-    fp_hits = (
-        idx_fps.join(F.broadcast(new_fp.select("fp").distinct()), "fp")
-        .select("fp")
-        .distinct()
-    )
+    # anti-join the delta against the tiny hit set instead (the index
+    # is never broadcast; the AST pin in tests/test_plans.py checks
+    # every F.broadcast argument here is delta-bounded).
+    fp_hits = hit_join.select("fp").distinct()
     miss = new_fp.join(F.broadcast(fp_hits), "fp", "left_anti")
     new_groups = miss.groupBy("fp").agg(F.min("id").alias("canon"))
     if update:
@@ -303,6 +306,7 @@ def lsh_increment(
         )
         bands_delta = banded_new.localCheckpoint(eager=True)
         new_fp.unpersist()
+        hit_join.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
         capped_new.unpersist()
@@ -322,6 +326,7 @@ def lsh_increment(
             f"{path}/bands"
         )
         new_fp.unpersist()
+        hit_join.unpersist()
         staged_new.unpersist()
         banded_new.unpersist()
         capped_new.unpersist()
@@ -330,5 +335,5 @@ def lsh_increment(
     from ..cacheutil import register_persisted
 
     return register_persisted(
-        out, new_fp, staged_new, banded_new, capped_new, cand
+        out, new_fp, hit_join, staged_new, banded_new, capped_new, cand
     )
