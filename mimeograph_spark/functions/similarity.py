@@ -19,7 +19,7 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..cacheutil import register_persisted
+from ..cacheutil import ensure_compute_parallelism, register_persisted
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -512,9 +512,15 @@ def build_ivf_index(
     # base feeds every Lloyd round plus the final assignment — the
     # norms are an interpreted HOF fold per row, so re-deriving the
     # frame from the source per round pays the scan AND the fold
-    # refine_iters + 1 times; one narrow cache pays them once
-    base = corpus.select(
-        F.col(id_col).alias("vec_id"), cvec.alias("_cvec")
+    # refine_iters + 1 times; one narrow cache pays them once.
+    # ensure_compute_parallelism: the interpreted dot/norm folds in
+    # every assignment round run one task per INPUT SPLIT — a
+    # few-file corpus pins the whole Lloyd loop to as many cores
+    # (no-op at real split counts; the 6-decimal mean rounding
+    # absorbs the summation-order change, same as it already does
+    # vs the oracle's ordering)
+    base = ensure_compute_parallelism(
+        corpus.select(F.col(id_col).alias("vec_id"), cvec.alias("_cvec"))
     ).withColumn("_cn", l2_norm(F.col("_cvec"))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -777,8 +783,13 @@ def semantic_dedup(
     join right, output spine).
     """
     cvec = F.col(vec_col).cast("array<double>")
+    # widened for the same reason as build_ivf_index: the Lloyd
+    # rounds' interpreted folds otherwise run one task per input
+    # split (guarded no-op at real split counts)
     base = (
-        corpus.select(F.col(id_col).alias("vec_id"), cvec.alias("_cvec"))
+        ensure_compute_parallelism(
+            corpus.select(F.col(id_col).alias("vec_id"), cvec.alias("_cvec"))
+        )
         .withColumn("_cn", l2_norm(F.col("_cvec")))
         .persist()
     )
@@ -1134,9 +1145,13 @@ def pq_topk(
         raise ValueError("dim must be divisible by m")
     dsub = dim // m
 
-    base = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # widened (guarded) so the Lloyd/encode rounds' interpreted
+    # subvector folds parallelize past the input split count
+    base = ensure_compute_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sub = _pq_explode_sub(base, "vec_id", m, dsub).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -1210,9 +1225,12 @@ def build_pq_index(
     if dim % m != 0:
         raise ValueError("dim must be divisible by m")
     dsub = dim // m
-    base = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    # widened (guarded): see pq_topk
+    base = ensure_compute_parallelism(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     sub = _pq_explode_sub(base, "vec_id", m, dsub).persist(
         StorageLevel.MEMORY_AND_DISK
