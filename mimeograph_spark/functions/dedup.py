@@ -1093,8 +1093,15 @@ def containment_pairs(
 
     df = ensure_compute_parallelism(df)
     # tokens staged (see decontaminate): HOF lambdas re-evaluate an
-    # inline tokenization per gram
-    sh = df.select(
+    # inline tokenization per gram.  The persist sits BEFORE the
+    # explode (same barrier as winnow_pairs): explode's inferred
+    # `size(_sh) > 0` filter would otherwise be rewritten in terms of
+    # the full tokenize+gram+md5 chain and pushed below the widening
+    # repartition onto the raw scan, re-running the shingling several
+    # times per row on one task per input split during the cache
+    # build.  Exploding AFTER the InMemoryRelation touches only the
+    # cached array attribute.
+    shsets = df.select(
         F.col(id_col).alias("id"),
         norm_tokens(F.col(text_col)).alias("_toks"),
     ).select(
@@ -1106,11 +1113,12 @@ def containment_pairs(
                 )
             )
         ).alias("_sh"),
-    ).select(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shsets.select(
         "id",
         F.size("_sh").cast("long").alias("sz"),
         F.explode("_sh").alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     keep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1146,4 +1154,4 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    return register_persisted(out, sh)
+    return register_persisted(out, shsets)

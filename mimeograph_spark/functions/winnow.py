@@ -119,18 +119,29 @@ def winnow_pairs(
 
     from ..cacheutil import ensure_compute_parallelism, register_persisted
 
-    # The exploded (id, n_fp, h) frame feeds three consumers (df
-    # count + both self-join sides): persist the narrow frame so the
-    # expensive per-gram md5 + window-min upstream runs once, and
-    # decouple that CPU-bound stage from the input split count.
+    # The fingerprint frame feeds three consumers (df count + both
+    # self-join sides): persist it so the expensive per-gram md5 +
+    # window-min upstream runs once, and decouple that CPU-bound
+    # stage from the input split count.  The persist sits BEFORE the
+    # explode deliberately: explode makes the optimizer infer
+    # `size(fps) > 0 AND isnotnull(fps)`, and with the explode on the
+    # persist's build side predicate pushdown substitutes the ENTIRE
+    # fingerprint expression into that filter and sinks it below the
+    # widening repartition onto the raw scan — the cache build then
+    # re-runs the whole tokenize+gram+window chain several times per
+    # row on one task per input split (measured: 227 s cold vs 1.4 s
+    # with the barrier at sf0.1).  An InMemoryRelation is a pushdown
+    # barrier, so filtering/exploding AFTER it touches only the
+    # cached fps attribute; re-deriving the explode per consumer is a
+    # trivial array unnest of cached arrays.
     fp = winnow_fingerprints(
         ensure_compute_parallelism(df), id_col, text_col, k, w
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ex = fp.select(
         "id",
         F.size("fps").cast("long").alias("n_fp"),
         F.explode("fps").alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     keep = (
         ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -166,4 +177,4 @@ def winnow_pairs(
             ).alias("overlap"),
         )
     )
-    return register_persisted(out, ex)
+    return register_persisted(out, fp)
